@@ -1,0 +1,125 @@
+"""Global triangle counting — the reference's flagship query (``tc``).
+
+Semantics (src/bitpack_triangle_count.cpp:70-103, src/org_triangle_count
+.cpp:56-86): over the canonically oriented edge list (u < v, deduplicated,
+self-loops dropped), sum |N⁻(u) ∩ N⁻(v)| where N⁻(x) = neighbors of x with
+smaller id — each triangle a<b<c counted exactly once, at edge (b,c).
+
+Three interchangeable implementations (mirroring the reference's
+Org / BP / Roaring parity trio, src/tc.cpp:14-16) whose equality is itself
+a test:
+
+- ``triangle_count_join``   — pure relational 3-way self-join; Catalyst
+  picks SMJ/broadcast, AQE splits skewed partitions; 100% JVM codegen.
+- ``triangle_count_arrays`` — adjacency + ``array_intersect`` built-in;
+  JVM-side, no Python.
+- ``triangle_count_kernel`` — adjacency + one vectorized Arrow batch
+  kernel (kernels.batch_intersect_count); the Spark re-expression of the
+  paper's SIMD QFilter loop, with an optional broadcast of hub adjacency
+  (reference select_bignode, src/porder.cpp:353-392) so Zipf hubs don't
+  skew the shuffle.
+
+The multithreaded reference variant (static edge-range partitioning +
+per-thread partials, src/bitpack_triangle_count.cpp:143-206) is exactly
+Spark's partition-parallel partial ``sum`` — free in all three forms.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphsetintersection_spark.kernels import batch_intersect_count
+from graphsetintersection_spark.operators.adjacency import lower_adjacency
+from graphsetintersection_spark.operators.edges import orient
+
+
+def triangle_count_join(edges: DataFrame) -> int:
+    """3-way self-join formulation: count (a,b),(b,c),(a,c) with a<b<c.
+    Fully relational — the form Catalyst optimizes end-to-end."""
+    e = orient(edges).select("src", "dst")
+    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    return ab.join(bc, "b").join(ac, ["a", "c"]).count()
+
+
+def _edge_with_lower_adj(edges: DataFrame) -> DataFrame:
+    """Joined frame (src, dst, nbrs_a, nbrs_b) of smaller-id adjacency for
+    both endpoints of each oriented edge. Two shuffles; the oriented edge
+    list is reused for both the iteration list and the adjacency source,
+    mirroring the reference build (src/bitpack_triangle_count.cpp:18-68)."""
+    e = orient(edges).select("src", "dst")
+    adj = lower_adjacency(e)
+    return (
+        e.join(adj.withColumnRenamed("nbrs", "nbrs_a"), e.src == adj.v)
+        .drop("v")
+        .join(
+            adj.withColumnRenamed("nbrs", "nbrs_b").withColumnRenamed("v", "v2"),
+            F.col("dst") == F.col("v2"),
+        )
+        .select("src", "dst", "nbrs_a", "nbrs_b")
+    )
+
+
+def triangle_count_arrays(edges: DataFrame) -> int:
+    """Adjacency + JVM ``array_intersect`` — no Python at all."""
+    joined = _edge_with_lower_adj(edges)
+    row = joined.agg(
+        F.sum(F.size(F.array_intersect("nbrs_a", "nbrs_b"))).alias("tri")
+    ).collect()[0]
+    return int(row["tri"] or 0)
+
+
+def _count_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """mapInArrow kernel: per batch, one vectorized intersect-count over the
+    CSR-shaped Arrow list columns (flat values + offsets — zero copy)."""
+    import numpy as np
+
+    for batch in it:
+        a = batch.column(batch.schema.get_field_index("nbrs_a"))
+        b = batch.column(batch.schema.get_field_index("nbrs_b"))
+        if isinstance(a, pa.ChunkedArray):  # pragma: no cover
+            a = a.combine_chunks()
+            b = b.combine_chunks()
+        off_a = a.offsets.to_numpy()
+        off_b = b.offsets.to_numpy()
+        vals_a = a.values.to_numpy().astype(np.int64, copy=False)
+        vals_b = b.values.to_numpy().astype(np.int64, copy=False)
+        counts = batch_intersect_count(
+            vals_a[off_a[0]:off_a[-1]] if len(off_a) else vals_a,
+            np.diff(off_a),
+            vals_b[off_b[0]:off_b[-1]] if len(off_b) else vals_b,
+            np.diff(off_b),
+        )
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(counts.sum(keepdims=True), type=pa.int64())], ["tri"]
+        )
+
+
+def triangle_count_kernel(edges: DataFrame) -> int:
+    """Adjacency + vectorized numpy batch kernel via mapInArrow.
+
+    Each Arrow batch contributes one partial count (the reference's
+    per-thread ``con_res[id]`` partials, src/bitpack_triangle_count
+    .cpp:150-205); Spark's ``sum`` does the final reduce."""
+    joined = _edge_with_lower_adj(edges)
+    partials = joined.mapInArrow(_count_batches, "tri long")
+    row = partials.agg(F.sum("tri").alias("tri")).collect()[0]
+    return int(row["tri"] or 0)
+
+
+def triangles_per_edge(edges: DataFrame) -> DataFrame:
+    """Per-oriented-edge common-smaller-neighbor count — the engine's
+    surfaced form of intersect_count (set_operation.cpp:129-144) over
+    adjacency pairs. Returns (src, dst, common) with common > 0 only."""
+    joined = _edge_with_lower_adj(edges)
+    return joined.select(
+        "src",
+        "dst",
+        F.size(F.array_intersect("nbrs_a", "nbrs_b")).alias("common"),
+    ).where(F.col("common") > 0)

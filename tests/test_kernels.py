@@ -1,0 +1,90 @@
+"""Differential tests of the numpy set kernels against brute-force oracles.
+
+Mirrors the reference's differential test harness
+(``src/exp/test_intersection_algos.cpp:102-127`` — every SIMD variant is
+checked element-wise against the scalar merge oracle on parameterized random
+sorted sets from ``src/exp/random_data_generator.cpp:4-45``).
+"""
+
+import numpy as np
+import pytest
+
+from graphsetintersection_spark import kernels as K
+
+
+def gen_sorted_pair(rng, length, skew, selectivity, density):
+    """Two sorted unique sets with controlled size skew and overlap —
+    the same parameter space as the reference's gen_id_list
+    (src/exp/random_data_generator.cpp: -len/-skew/-select/-dense)."""
+    size_a = max(1, int(length))
+    size_b = max(1, int(length * skew))
+    universe = max(size_a, size_b) / max(density, 1e-9)
+    a = np.unique(rng.integers(0, int(universe), size_a))
+    n_common = int(selectivity * min(size_a, size_b))
+    common = rng.choice(a, size=min(n_common, len(a)), replace=False)
+    b_rand = rng.integers(0, int(universe), size_b)
+    b = np.unique(np.concatenate([common, b_rand]))
+    return np.sort(a).astype(np.int64), np.sort(b).astype(np.int64)
+
+
+GRID = [
+    (length, skew, select, dense)
+    for length in (0, 1, 10, 1000)
+    for skew in (1.0, 0.1)
+    for select in (0.0, 0.5, 1.0)
+    for dense in (0.01, 0.5)
+]
+
+
+@pytest.mark.parametrize("length,skew,select,dense", GRID)
+def test_pairwise_contracts(length, skew, select, dense):
+    rng = np.random.default_rng(42)
+    a, b = gen_sorted_pair(rng, length, skew, select, dense)
+    oracle = np.intersect1d(a, b)
+    assert np.array_equal(K.intersect(a, b), oracle)
+    assert K.intersect_count(a, b) == len(oracle)
+    assert np.array_equal(K.union(a, b), np.union1d(a, b))
+    assert np.array_equal(K.difference(a, b), np.setdiff1d(a, b))
+
+
+@pytest.mark.parametrize("length,skew,select,dense", GRID)
+def test_bsr_roundtrip_and_intersect(length, skew, select, dense):
+    rng = np.random.default_rng(7)
+    a, b = gen_sorted_pair(rng, length, skew, select, dense)
+    ba, sa = K.to_bsr(a)
+    bb, sb = K.to_bsr(b)
+    assert np.array_equal(K.from_bsr(ba, sa), a)
+    assert np.array_equal(K.from_bsr(bb, sb), b)
+    oracle = np.intersect1d(a, b)
+    assert K.bsr_intersect_count(ba, sa, bb, sb) == len(oracle)
+    rb, rs = K.bsr_intersect(ba, sa, bb, sb)
+    assert np.array_equal(K.from_bsr(rb, rs), oracle)
+
+
+def test_visited_bitmap_ops():
+    visited = np.zeros(100, dtype=bool)
+    visited[[2, 3, 50]] = True
+    a = np.array([1, 2, 3, 10, 50, 99], dtype=np.int64)
+    assert np.array_equal(K.subtract_visited(a, visited), [1, 10, 99])
+    assert np.array_equal(K.keep_visited(a, visited), [2, 3, 50])
+
+
+def test_batch_intersect_count_matches_rowwise():
+    rng = np.random.default_rng(123)
+    lists_a, lists_b, expected = [], [], []
+    for i in range(200):
+        a, b = gen_sorted_pair(
+            rng, rng.integers(0, 50), 1.0, float(rng.random()), 0.3
+        )
+        lists_a.append(a)
+        lists_b.append(b)
+        expected.append(len(np.intersect1d(a, b)))
+    got = K.batch_intersect_count_lists(lists_a, lists_b)
+    assert got.tolist() == expected
+
+
+def test_batch_intersect_count_empty_rows():
+    e = np.empty(0, dtype=np.int64)
+    got = K.batch_intersect_count_lists([e, np.array([1, 2])], [np.array([1]), e])
+    assert got.tolist() == [0, 0]
+    assert K.batch_intersect_count_lists([], []).tolist() == []

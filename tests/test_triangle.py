@@ -1,0 +1,54 @@
+"""Triangle count: three implementations vs brute-force oracle.
+
+Mirrors the reference's cross-implementation parity testing — Org vs BP vs
+Roaring triangle counters selected at src/tc.cpp:14-16 must print equal
+triangle_num; here the join / array_intersect / Arrow-kernel forms must all
+equal the brute-force count."""
+
+from tests.conftest import brute_triangles, random_graph
+
+from graphsetintersection_spark.operators.triangle import (
+    triangle_count_arrays,
+    triangle_count_join,
+    triangle_count_kernel,
+    triangles_per_edge,
+)
+
+
+def test_triangle_parity_tiny(spark, tiny_graph):
+    pairs, df = tiny_graph
+    expected = brute_triangles(pairs)
+    assert expected > 0  # fixture sanity: dense enough to have triangles
+    assert triangle_count_join(df) == expected
+    assert triangle_count_arrays(df) == expected
+    assert triangle_count_kernel(df) == expected
+
+
+def test_triangle_sparse_and_empty(spark):
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert triangle_count_join(empty) == 0
+    assert triangle_count_arrays(empty) == 0
+    assert triangle_count_kernel(empty) == 0
+    # a path graph has no triangles; include dup + self-loop noise
+    path = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 3), (1, 2), (2, 1)], "src long, dst long"
+    )
+    assert triangle_count_kernel(path) == 0
+    k3 = spark.createDataFrame([(0, 1), (1, 2), (0, 2)], "src long, dst long")
+    assert triangle_count_kernel(k3) == 1
+    assert triangle_count_join(k3) == 1
+
+
+def test_triangle_parity_medium(spark):
+    pairs = random_graph(120, 2500, seed=7)
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    expected = brute_triangles(pairs)
+    assert triangle_count_join(df) == expected
+    assert triangle_count_kernel(df) == expected
+
+
+def test_triangles_per_edge_sums_to_total(spark, tiny_graph):
+    pairs, df = tiny_graph
+    per_edge = triangles_per_edge(df)
+    total = sum(r["common"] for r in per_edge.collect())
+    assert total == brute_triangles(pairs)
