@@ -1,0 +1,88 @@
+"""Connected components: union-find oracle + cross-implementation parity
+(minlabel vs star-contraction — the reference's Org/BP/Roaring pattern)."""
+
+from tests.conftest import random_graph, undirected_simple
+
+from graphsetintersection_spark.operators.components import (
+    connected_components_minlabel,
+    connected_components_starcontraction,
+)
+from graphsetintersection_spark.plans.checkpoint import CheckpointManager
+
+
+def union_find_components(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in pairs:
+        if u == v:
+            parent.setdefault(u, u)
+            continue
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # component id = min vertex in component
+    comp_min = {}
+    for x in list(parent):
+        comp_min.setdefault(find(x), set()).add(x)
+    out = {}
+    for root, members in comp_min.items():
+        m = min(members | {root})
+        for v in members:
+            out[v] = m
+    return out
+
+
+def _collect(df):
+    return {r["v"]: r["component"] for r in df.collect()}
+
+
+def test_components_exact_tiny(spark, tiny_graph):
+    pairs, df = tiny_graph
+    oracle = union_find_components([(u, v) for u, v in pairs if u != v])
+    got = _collect(connected_components_minlabel(df).components)
+    assert got == oracle
+    got2 = _collect(connected_components_starcontraction(df).components)
+    assert got2 == oracle
+
+
+def test_components_long_chain_and_islands(spark):
+    # chain 0-..-19 (diameter stress), triangle island, singleton edge pair
+    chain = [(i, i + 1) for i in range(19)]
+    pairs = chain + [(100, 101), (101, 102), (100, 102), (200, 201)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    oracle = union_find_components(pairs)
+    res1 = connected_components_minlabel(df, max_rounds=50)
+    assert res1.converged
+    assert _collect(res1.components) == oracle
+    res2 = connected_components_starcontraction(df, max_rounds=30)
+    assert res2.converged
+    assert _collect(res2.components) == oracle
+    # star contraction should finish in far fewer rounds than the chain length
+    assert res2.rounds < 12
+
+
+def test_components_parity_random(spark):
+    pairs = random_graph(300, 260, seed=11)  # sparse → many components
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    oracle = union_find_components([(u, v) for u, v in pairs if u != v])
+    assert _collect(connected_components_minlabel(df).components) == oracle
+    assert _collect(connected_components_starcontraction(df).components) == oracle
+
+
+def test_components_resume(spark, tmp_path):
+    pairs = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    ck = CheckpointManager(str(tmp_path), "cc-run", "components")
+    connected_components_minlabel(df, max_rounds=3, checkpointer=ck)
+    assert ck.latest_iteration() == 2
+    res = connected_components_minlabel(df, max_rounds=50, checkpointer=ck)
+    assert res.converged
+    oracle = union_find_components(pairs)
+    assert _collect(res.components) == oracle

@@ -1,0 +1,86 @@
+"""PageRank vs dense numpy power-iteration oracle (allclose 1e-6 — the
+north rule's parity criterion), plus checkpoint/resume equivalence."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import random_graph, undirected_simple
+
+from graphsetintersection_spark.operators.pagerank import pagerank
+from graphsetintersection_spark.plans.checkpoint import CheckpointManager
+
+
+def numpy_pagerank(pairs, alpha=0.85, iters=40):
+    """Dense oracle with identical semantics: damping + dangling mass."""
+    edges = {(u, v) for u, v in pairs if u != v}
+    verts = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    out_deg = np.zeros(n)
+    for u, v in edges:
+        out_deg[idx[u]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        share = np.where(out_deg > 0, r / np.maximum(out_deg, 1), 0.0)
+        for u, v in edges:
+            contrib[idx[v]] += share[idx[u]]
+        dangling = r[out_deg == 0].sum()
+        r = (1 - alpha) / n + alpha * (contrib + dangling / n)
+    return {v: r[idx[v]] for v in verts}
+
+
+def _assert_allclose(result_df, oracle, atol=1e-6):
+    got = {row["v"]: row["rank"] for row in result_df.collect()}
+    assert set(got) == set(oracle)
+    for v in oracle:
+        assert got[v] == pytest.approx(oracle[v], abs=atol), f"vertex {v}"
+
+
+def test_pagerank_allclose_tiny(spark, tiny_graph):
+    pairs, df = tiny_graph
+    oracle = numpy_pagerank(pairs, iters=40)
+    res = pagerank(df, max_iter=40, tol=None)
+    assert res.iterations == 40
+    _assert_allclose(res.ranks, oracle)
+    total = sum(r["rank"] for r in res.ranks.collect())
+    assert total == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_with_dangling_and_disconnected(spark):
+    # 0→1→2 (2 dangling), isolated pair 5→6, 6 dangling
+    pairs = [(0, 1), (1, 2), (5, 6)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    oracle = numpy_pagerank(pairs, iters=30)
+    res = pagerank(df, max_iter=30, tol=None)
+    _assert_allclose(res.ranks, oracle)
+
+
+def test_pagerank_convergence_stop(spark, tiny_graph):
+    _, df = tiny_graph
+    res = pagerank(df, max_iter=100, tol=1e-10)
+    assert res.converged
+    assert res.iterations < 100
+    assert res.deltas[-1] < 1e-10
+
+
+def test_pagerank_resume_matches_uninterrupted(spark, tiny_graph, tmp_path):
+    pairs, df = tiny_graph
+    full = pagerank(df, max_iter=12, tol=None)
+    full_ranks = {r["v"]: r["rank"] for r in full.ranks.collect()}
+
+    # interrupted run: 5 iterations committed, then a fresh call resumes
+    ck = CheckpointManager(str(tmp_path), "pr-run", "pagerank")
+    pagerank(df, max_iter=5, tol=None, checkpointer=ck)
+    assert ck.latest_iteration() == 4
+    resumed = pagerank(df, max_iter=12, tol=None, checkpointer=ck)
+    res_ranks = {r["v"]: r["rank"] for r in resumed.ranks.collect()}
+
+    assert set(res_ranks) == set(full_ranks)
+    for v in full_ranks:
+        assert res_ranks[v] == pytest.approx(full_ranks[v], abs=1e-12)
+    # manifest carries per-partition lineage + metrics for every iteration
+    entries = ck.committed()
+    assert [e["iteration"] for e in entries] == list(range(12))
+    assert all(e["partitions"] for e in entries)
+    assert all("dangling_mass" in e["metrics"] for e in entries)
