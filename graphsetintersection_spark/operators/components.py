@@ -159,10 +159,14 @@ def connected_components_starcontraction(
         ).distinct()
         ls = _large_star(sym)
         ss = _small_star(ls)
-        new_pairs = ss
-        # converged when the (u,w) parent set is unchanged
+        new_pairs = ss.persist()
+        # converged when the (u,w) parent set is unchanged; both sides are
+        # distinct sets, so equal counts + empty one-sided difference ⇒ equal
+        n_old, n_new = pairs.count(), new_pairs.count()
         delta = (
-            new_pairs.exceptAll(pairs).count() + pairs.exceptAll(new_pairs).count()
+            abs(n_new - n_old)
+            if n_old != n_new
+            else new_pairs.exceptAll(pairs).count()
         )
         if checkpointer is not None:
             new_pairs = checkpointer.commit(
