@@ -1,0 +1,132 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "throughput": {...edges/sec for the north-rule metrics...}}
+
+The north-rule metric is triangle-count + PageRank-iteration throughput in
+edges/sec over the synthetic Common-Crawl-style corpus; scaling-efficiency
+evidence (local[8] vs local[32]) is produced by BENCH/scaling.py which
+re-invokes this file at two parallelism levels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+PR_BENCH_ITERS = 3
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from graphsetintersection_spark.operators.components import (
+        connected_components_starcontraction,
+    )
+    from graphsetintersection_spark.operators.labelprop import label_propagation
+    from graphsetintersection_spark.operators.pagerank import pagerank
+    from graphsetintersection_spark.operators.relabel import apply_order, degree_order
+    from graphsetintersection_spark.operators.triangle import (
+        triangle_count_arrays,
+        triangle_count_kernel,
+    )
+    from graphsetintersection_spark.session import get_spark, read_table
+    from graphsetintersection_spark.sources.extract import link_edges
+    from graphsetintersection_spark.sources.pages import generate_pages
+
+    spark = get_spark(app_name="gsi-bench", master=f"local[{CPUS}]")
+    timings: dict[str, float] = {}
+    throughput: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # ---- corpus scale: ~1 page per 30 lineitem rows (sf0.1 → ~20k pages)
+    li_rows = read_table(spark, SF_DIR, "lineitem").count()
+    n_pages = max(2000, li_rows // 30)
+
+    # ---- pages → edges → degree relabel (the ingest pipeline)
+    def build_graph():
+        pages = generate_pages(spark, n_pages, avg_links=12.0, seed=42)
+        edges = link_edges(pages)
+        order = degree_order(edges)
+        relabeled = apply_order(edges, order).persist()
+        n_edges = relabeled.count()
+        return relabeled, n_edges
+
+    relabeled, n_edges = timed("pages_to_edges_relabel", build_graph)
+
+    # ---- triangle count (Arrow kernel) — north-rule throughput metric
+    tri = timed("triangle_count_kernel", lambda: triangle_count_kernel(relabeled))
+    throughput["triangle_edges_per_sec"] = round(
+        n_edges / timings["triangle_count_kernel"], 1
+    )
+    timed("triangle_count_arrays", lambda: triangle_count_arrays(relabeled))
+
+    # ---- PageRank iterations — north-rule throughput metric
+    timed(
+        "pagerank_iters",
+        lambda: pagerank(relabeled, max_iter=PR_BENCH_ITERS, tol=None),
+    )
+    throughput["pagerank_edges_per_sec_per_iter"] = round(
+        n_edges * PR_BENCH_ITERS / timings["pagerank_iters"], 1
+    )
+
+    # ---- connected components + LPA on the corpus graph
+    timed(
+        "connected_components",
+        lambda: connected_components_starcontraction(relabeled, max_rounds=30)
+        .components.count(),
+    )
+    timed(
+        "label_propagation_2rounds",
+        lambda: label_propagation(relabeled, max_rounds=2, fixed_rounds=True)
+        .labels.count(),
+    )
+
+    # ---- oracle-gated queries at this sf (cheap correctness-comparable set)
+    q = entry_mod.queries()
+    for name in ("triangle_count", "pagerank", "degree_relabel"):
+        timed(f"lgraph_{name}", lambda n=name: q[n](spark, SF_DIR).collect())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "link-graph engine headline (pages→edges→relabel, "
+                "TC, PageRank, CC, LPA + oracle queries)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+                "n_pages": n_pages,
+                "n_edges": n_edges,
+                "triangles": tri,
+                "cpus": CPUS,
+                "throughput": throughput,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -150,6 +150,7 @@ def connected_components_starcontraction(
 
     converged = False
     rounds = start
+    n_old = pairs.count()
     for rounds in range(start, max_rounds):
         # large-star operates on symmetric neighborhoods (Kiveris alg. 2);
         # its output edges always point larger→smaller, which is exactly
@@ -162,12 +163,13 @@ def connected_components_starcontraction(
         new_pairs = ss.persist()
         # converged when the (u,w) parent set is unchanged; both sides are
         # distinct sets, so equal counts + empty one-sided difference ⇒ equal
-        n_old, n_new = pairs.count(), new_pairs.count()
+        n_new = new_pairs.count()
         delta = (
             abs(n_new - n_old)
             if n_old != n_new
             else new_pairs.exceptAll(pairs).count()
         )
+        n_old = n_new
         if checkpointer is not None:
             new_pairs = checkpointer.commit(
                 new_pairs, rounds, metrics={"delta_edges": int(delta)}

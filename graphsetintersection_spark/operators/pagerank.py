@@ -92,18 +92,27 @@ def pagerank(
             .groupBy(F.col("dst").alias("v"))
             .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("contrib"))
         )
-        dangling = (
+        # dangling mass folded into the plan as a 1-row cross join — no
+        # extra action per iteration (matters: driver round-trips dominate
+        # iteration latency; on a cluster it also removes a job barrier)
+        dangling_df = (
             ranks.join(out_deg, "v", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling"))
         )
-        new_ranks = verts.join(contribs, "v", "left").select(
-            "v",
-            (
-                F.lit((1.0 - alpha) / n)
-                + F.lit(alpha)
-                * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n))
-            ).alias("rank"),
+        new_ranks = (
+            verts.join(contribs, "v", "left")
+            .crossJoin(F.broadcast(dangling_df))
+            .select(
+                "v",
+                (
+                    F.lit((1.0 - alpha) / n)
+                    + F.lit(alpha)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("_dangling") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
         )
 
         delta = None
@@ -121,7 +130,7 @@ def pagerank(
                 new_ranks,
                 it,
                 metrics={"delta": float(delta) if delta is not None else None,
-                         "dangling_mass": float(dangling), "n_vertices": n},
+                         "n_vertices": n},
             )
         elif it % 5 == 4:
             # lineage truncation even without a checkpointer

@@ -83,4 +83,4 @@ def test_pagerank_resume_matches_uninterrupted(spark, tiny_graph, tmp_path):
     entries = ck.committed()
     assert [e["iteration"] for e in entries] == list(range(12))
     assert all(e["partitions"] for e in entries)
-    assert all("dangling_mass" in e["metrics"] for e in entries)
+    assert all("n_vertices" in e["metrics"] for e in entries)
