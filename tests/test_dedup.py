@@ -1,0 +1,116 @@
+"""Dedup family vs exact Python oracles (documents table + crafted dups)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_TINY
+
+from graphsetintersection_spark.functions.dedup import (
+    dedup_keep_first,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash_pairs,
+)
+from graphsetintersection_spark.session import read_table
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    """documents plus exact copies and near-copies with shifted ids."""
+    base = read_table(spark, SF_TINY, "documents").select("doc_id", "text")
+    exact_copies = base.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    near_copies = base.where((F.col("doc_id") >= 20) & (F.col("doc_id") < 40)).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token")).alias("text"),
+    )
+    df = base.union(exact_copies).union(near_copies).persist()
+    df.count()
+    return df
+
+
+def py_jaccard(a: str, b: str, n: int = 5) -> float:
+    sa = {a[i : i + n] for i in range(max(len(a) - n + 1, 0))}
+    sb = {b[i : i + n] for i in range(max(len(b) - n + 1, 0))}
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup(spark, docs_with_dups):
+    groups = exact_dedup(docs_with_dups).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs_with_dups.collect()}
+    # oracle group count = distinct texts
+    assert len(groups) == len(set(texts.values()))
+    dup_groups = [g for g in groups if g["n_copies"] > 1]
+    assert len(dup_groups) == 20
+    for g in dup_groups:
+        assert g["rep_id"] == min(g["doc_ids"])
+        assert len({texts[d] for d in g["doc_ids"]}) == 1
+    kept = dedup_keep_first(docs_with_dups)
+    assert kept.count() == len(set(texts.values()))
+
+
+def test_shingles_oracle(spark, docs_with_dups):
+    sample = docs_with_dups.where(F.col("doc_id") < 5)
+    got = {}
+    for r in shingles(sample, n=5).collect():
+        got.setdefault(r["doc_id"], set()).add(r["shingle"])
+    for r in sample.collect():
+        t = r["text"]
+        expect = {t[i : i + 5] for i in range(max(len(t) - 4, 0))}
+        assert got.get(r["doc_id"], set()) == expect
+
+
+def test_ngram_jaccard_pairs_oracle(spark, docs_with_dups):
+    sub = docs_with_dups.where(
+        (F.col("doc_id") < 60) | (F.col("doc_id") >= 10000)
+    ).persist()
+    rows = {r["doc_id"]: r["text"] for r in sub.collect()}
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(sub, n=5, threshold=0.5, max_shingle_df=None).collect()
+    }
+    ids = sorted(rows)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            j = py_jaccard(rows[a], rows[b])
+            if j >= 0.5:
+                expect[(a, b)] = j
+    assert set(got) == set(expect)
+    for k, v in expect.items():
+        assert got[k] == pytest.approx(v, abs=1e-12)
+    # every exact copy must be found at jaccard 1.0
+    assert all(got[(i, i + 10000)] == 1.0 for i in range(20))
+    sub.unpersist()
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs_with_dups):
+    pairs = minhash_lsh_pairs(
+        docs_with_dups, num_perm=64, bands=16, threshold=0.5, verify=True
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # all exact copies must collide in some band and pass verification
+    for i in range(20):
+        assert (i, i + 10000) in got
+    # near-copies (one extra token) have very high jaccard → found
+    found_near = sum((i, i + 20000) in got for i in range(20, 40))
+    assert found_near >= 18  # LSH recall on >0.9-jaccard pairs
+    # verification: no pair below threshold
+    oracle_rows = {r["doc_id"]: r["text"] for r in docs_with_dups.collect()}
+    for a, b in got:
+        assert py_jaccard(oracle_rows[a], oracle_rows[b]) >= 0.5
+
+
+def test_simhash_near_dups(spark, docs_with_dups):
+    pairs = simhash_pairs(docs_with_dups, max_hamming=3)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # exact copies have identical simhash (hamming 0)
+    for i in range(20):
+        assert (i, i + 10000) in got
+    ham = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert all(ham[(i, i + 10000)] == 0 for i in range(20))
