@@ -137,8 +137,136 @@ def _q_label_propagation(spark, sf_dir):
     return res.labels.select("v", "label")
 
 
+# ---- training-data pipeline queries (documents / embeddings / events) ----
+
+NGRAM_DOCS = 400       # doc_id bound for the quadratic-ish jaccard oracle
+NGRAM_THRESHOLD = 0.2
+ANN_QUERIES = 8
+ANN_K = 5
+
+
+def _docs(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents")
+
+
+def _q_doc_stats(spark, sf_dir):
+    from graphsetintersection_spark.functions.text import doc_stats
+
+    return doc_stats(_docs(spark, sf_dir))
+
+
+def _q_quality_score(spark, sf_dir):
+    from graphsetintersection_spark.functions.text import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark, sf_dir):
+    from graphsetintersection_spark.functions.text import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    from graphsetintersection_spark.functions.text import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def _q_exact_dedup(spark, sf_dir):
+    from graphsetintersection_spark.functions.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir)).select("rep_id", "n_copies")
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from graphsetintersection_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < NGRAM_DOCS)
+    pairs = ngram_jaccard_pairs(
+        docs, n=5, threshold=NGRAM_THRESHOLD, max_shingle_df=None
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    from graphsetintersection_spark.functions.dedup import minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < NGRAM_DOCS)
+    return minhash_lsh_pairs(
+        docs, num_perm=64, bands=16, threshold=NGRAM_THRESHOLD, verify=True
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_simhash(spark, sf_dir):
+    from graphsetintersection_spark.functions.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+def _q_ann_cosine_topk(spark, sf_dir):
+    from graphsetintersection_spark.functions.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    vecs = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = vecs.where(F.col("vec_id") < ANN_QUERIES)
+    out = cosine_topk_bruteforce(q, vecs, k=ANN_K)
+    return out.select(
+        "query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+def _q_ann_lsh(spark, sf_dir):
+    from graphsetintersection_spark.functions.similarity import lsh_ann_topk
+
+    vecs = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = vecs.where(F.col("vec_id") < ANN_QUERIES)
+    out = lsh_ann_topk(q, vecs, k=ANN_K, n_planes=4, n_tables=16)
+    return out.select(
+        "query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+SESSION_GAP_MIN = 30
+
+
+def _q_event_sessionize(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ; session TZ is pinned UTC so this epoch matches
+    # DuckDB's naive epoch()
+    es = F.col("ts").cast("timestamp_ltz").cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = es - F.lag(es).over(w)
+    with_new = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = with_new.withColumn("session_idx", F.sum("is_new").over(w2))
+    es2 = F.col("ts").cast("timestamp_ltz").cast("long")
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min(es2).alias("start_epoch"),
+        F.max(es2).alias("end_epoch"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # link-graph engine core
         "lgraph_edges": _q_lgraph_edges,
         "degree_table": _q_degree_table,
         "degree_relabel": _q_degree_relabel,
@@ -149,6 +277,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "connected_components": _q_connected_components,
         "label_propagation": _q_label_propagation,
+        # training-data pipeline
+        "doc_stats": _q_doc_stats,
+        "quality_score": _q_quality_score,
+        "lang_id": _q_lang_id,
+        "doc_fingerprint": _q_fingerprint,
+        "exact_dedup": _q_exact_dedup,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_lsh_dedup": _q_minhash_lsh,
+        "simhash_dedup": _q_simhash,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_lsh_topk": _q_ann_lsh,
+        "event_sessionize": _q_event_sessionize,
     }
 
 
@@ -227,8 +367,157 @@ def _lpa_oracle_sql() -> str:
     return ",\n".join(parts[:1] + parts[1:-1]) + "\n" + parts[-1]
 
 
+_DOC_STATS_SQL = r"""
+select doc_id,
+  length(text) as n_chars,
+  case when trim(text) = '' then 0
+       else len(regexp_split_to_array(trim(text), '\s+')) end as n_tokens_ws,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) as n_tokens_bpe,
+  length(text) - length(regexp_replace(text, '[^\x00-\x7f]', '', 'g')) as n_non_ascii,
+  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) as n_digits,
+  length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) as n_upper,
+  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) as n_punct
+from documents
+"""
+
+_QUALITY_SQL = f"""
+with s as materialized ({_DOC_STATS_SQL})
+select doc_id,
+  round(greatest(least(
+    (case when n_tokens_ws between 10 and 100000 then 0.5 else 0.0 end)
+    + 0.5
+    - least(n_digits / greatest(cast(n_chars as double), 1.0) * 2.0, 0.25)
+    - least(n_punct / greatest(cast(n_chars as double), 1.0) * 4.0, 0.25)
+    - least(n_upper / greatest(cast(n_chars as double), 1.0) * 2.0, 0.25)
+  , 1.0), 0.0), 6) as quality
+from s
+"""
+
+
+def _lang_id_oracle_sql() -> str:
+    from graphsetintersection_spark.functions.text import LANG_MARKERS
+
+    def cnt(markers):
+        terms = [
+            f"(length(p) - length(replace(p, '{m}', ''))) // {len(m)}"
+            for m in markers
+        ]
+        return " + ".join(terms)
+
+    scores = {c: cnt(ms) for c, ms in LANG_MARKERS.items()}
+    score_cols = ",\n  ".join(f"({v}) as s_{c}" for c, v in scores.items())
+    codes = sorted(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{c}" for c in codes) + ")"
+    case = " ".join(f"when s_{c} = best then '{c}'" for c in codes)
+    return f"""
+with p as materialized (
+  select doc_id, ' ' || lower(text) || ' ' as p from documents
+),
+sc as materialized (select doc_id, {score_cols} from p),
+b as (select *, {best} as best from sc)
+select doc_id, case when best > 0 then (case {case} end) else 'und' end as lang_pred
+from b
+"""
+
+
+_EXACT_DEDUP_SQL = """
+select min(doc_id) as rep_id, count(*) as n_copies
+from documents group by text
+"""
+
+
+def _ngram_jaccard_oracle_sql() -> str:
+    return f"""
+with docs as materialized (
+  select doc_id, text from documents where doc_id < {NGRAM_DOCS}
+),
+sh as materialized (
+  select distinct doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(length(text) - 4, 0)),
+           i -> substr(text, i, 5))) as shingle
+  from docs
+),
+sizes as materialized (select doc_id, count(*) as n_sh from sh group by doc_id),
+inter as materialized (
+  select a.doc_id as id_a, b.doc_id as id_b, count(*) as i
+  from sh a join sh b using (shingle)
+  where a.doc_id < b.doc_id
+  group by a.doc_id, b.doc_id
+)
+select id_a, id_b, round(i / (sa.n_sh + sb.n_sh - i), 6) as jaccard
+from inter
+join sizes sa on sa.doc_id = id_a
+join sizes sb on sb.doc_id = id_b
+where i / (sa.n_sh + sb.n_sh - i) >= {NGRAM_THRESHOLD}
+"""
+
+
+def _ann_oracle_sql() -> str:
+    return f"""
+with q as materialized (
+  select vec_id as query_id, embedding::DOUBLE[] as qv
+  from embeddings where vec_id < {ANN_QUERIES}
+),
+c as materialized (
+  select vec_id as neighbor_id, embedding::DOUBLE[] as cv from embeddings
+),
+scored as materialized (
+  select query_id, neighbor_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+           as score
+  from q cross join c
+  where query_id <> neighbor_id
+),
+ranked as (
+  select query_id, neighbor_id, score,
+         row_number() over (partition by query_id
+                            order by score desc, neighbor_id asc) as rank
+  from scored
+)
+select query_id, neighbor_id, round(score, 6) as score, rank
+from ranked where rank <= {ANN_K}
+"""
+
+
+_SESSIONIZE_SQL = f"""
+with e as materialized (
+  select user_id, ts, event_id, cast(floor(epoch(ts)) as bigint) as es
+  from events
+),
+g as materialized (
+  select user_id, ts, event_id, es,
+    case when lag(es) over w is null
+           or es - lag(es) over w > {SESSION_GAP_MIN * 60} then 1 else 0 end
+      as is_new
+  from e
+  window w as (partition by user_id order by ts, event_id)
+),
+s as materialized (
+  select user_id, es,
+    sum(is_new) over (partition by user_id order by ts, event_id
+                      rows between unbounded preceding and current row)
+      as session_idx
+  from g
+)
+select user_id, session_idx, count(*) as n_events,
+       min(es) as start_epoch, max(es) as end_epoch
+from s group by user_id, session_idx
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "doc_stats": _DOC_STATS_SQL,
+        "quality_score": _QUALITY_SQL,
+        "lang_id": _lang_id_oracle_sql(),
+        "exact_dedup": _EXACT_DEDUP_SQL,
+        "ngram_jaccard": _ngram_jaccard_oracle_sql(),
+        "ann_cosine_topk": _ann_oracle_sql(),
+        "event_sessionize": _SESSIONIZE_SQL,
+        # doc_fingerprint / minhash_lsh_dedup / simhash_dedup / ann_lsh_topk:
+        # rows-only (hash-scheme/approximate ops; verified by pytest oracles)
         "lgraph_edges": f"with edges as ({_LGRAPH_EDGES}) select src, dst from edges",
         "degree_table": f"""
 with edges as ({_LGRAPH_EDGES}),

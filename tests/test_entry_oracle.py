@@ -55,7 +55,9 @@ def test_query_matches_oracle(spark, name):
 
     oracles = entry_mod.oracle_sql()
     if name not in oracles:
-        pytest.skip(f"{name}: rows-only check (no SQL oracle)")
+        # rows-only contract: the query must execute and produce rows
+        assert len(spark_rows) > 0, f"{name}: rows-only query returned 0 rows"
+        return
 
     con = duck_connection()
     res = con.execute(oracles[name])
