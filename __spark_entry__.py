@@ -232,6 +232,38 @@ def _q_ann_lsh(spark, sf_dir):
     )
 
 
+SM_LABELS = 7  # data labels for the matching query: label(v) = v % 7
+
+
+def _q_subgraph_match_triangle(spark, sf_dir):
+    """Embedding count of the labeled triangle query (labels 0-1-2) —
+    the reference sm binary's per-query answer (src/sm.cpp:60-77)."""
+    from graphsetintersection_spark.operators.edges import vertices
+    from graphsetintersection_spark.operators.matching import (
+        LabelSubgraph,
+        subgraph_match_count,
+    )
+
+    e = _lgraph(spark, sf_dir)
+    labels = vertices(e).select("v", (F.col("v") % SM_LABELS).cast("int").alias("label"))
+    q = LabelSubgraph(3, [(0, 1), (1, 2), (0, 2)], [0, 1, 2])
+    n = subgraph_match_count(e, labels, q)
+    return spark.createDataFrame([(n,)], "embeddings long")
+
+
+def _q_maximal_cliques(spark, sf_dir):
+    """Maximal-clique size histogram of the sparse graph (rows-only check;
+    exactness is covered by the BK pytest oracle)."""
+    from graphsetintersection_spark.operators.cliques import maximal_cliques
+
+    cl = maximal_cliques(_sgraph(spark, sf_dir))
+    return (
+        cl.select(F.size("clique").alias("clique_size"))
+        .groupBy("clique_size")
+        .agg(F.count("*").alias("n_cliques"))
+    )
+
+
 SESSION_GAP_MIN = 30
 
 
@@ -277,6 +309,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "connected_components": _q_connected_components,
         "label_propagation": _q_label_propagation,
+        "subgraph_match_triangle": _q_subgraph_match_triangle,
+        "maximal_cliques": _q_maximal_cliques,
         # training-data pipeline
         "doc_stats": _q_doc_stats,
         "quality_score": _q_quality_score,
@@ -586,6 +620,22 @@ from oriented bc
 join oriented ab on ab.b = bc.a
 join oriented ac on ac.a = ab.a and ac.b = bc.b
 group by bc.a, bc.b
+""",
+        "subgraph_match_triangle": f"""
+with edges as materialized ({_LGRAPH_EDGES}),
+und as materialized (
+  select src as u, dst as w from edges union select dst, src from edges
+),
+verts as (select u as v from und union select w from und),
+lab as materialized (select v, cast(v % {SM_LABELS} as int) as label from verts)
+select count(*) as embeddings
+from und e1
+join und e2 on e2.u = e1.w
+join und e3 on e3.u = e2.w and e3.w = e1.u
+join lab l0 on l0.v = e1.u and l0.label = 0
+join lab l1 on l1.v = e1.w and l1.label = 1
+join lab l2 on l2.v = e2.w and l2.label = 2
+where e1.u <> e2.w
 """,
         "pagerank": _pagerank_oracle_sql(),
         "connected_components": f"""

@@ -1,0 +1,76 @@
+"""Maximal cliques vs an independent plain-BK Python oracle (mirrors the
+reference's Org vs BP cross-checking of mc_num, src/mc.cpp:17-19)."""
+
+import pytest
+
+from tests.conftest import random_graph, undirected_simple
+
+from graphsetintersection_spark.operators.cliques import (
+    degeneracy_order,
+    maximal_clique_count,
+    maximal_cliques,
+)
+
+
+def python_bk(pairs):
+    """Plain Bron–Kerbosch (no pivot, no ordering) — independent oracle."""
+    und = undirected_simple(pairs)
+    adj = {}
+    for e in und:
+        u, v = tuple(e)
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    out = []
+
+    def bk(r, p, x):
+        if not p and not x:
+            out.append(tuple(sorted(r)))
+            return
+        for v in sorted(p):
+            bk(r | {v}, p & adj[v], x & adj[v])
+            p = p - {v}
+            x = x | {v}
+
+    bk(set(), set(adj), set())
+    return sorted(out)
+
+
+def _collect_cliques(df):
+    return sorted(tuple(r["clique"]) for r in df.collect())
+
+
+def test_cliques_tiny_exact(spark):
+    pairs = random_graph(25, 90, seed=9)
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    oracle = python_bk(pairs)
+    assert len(oracle) > 3
+    got = _collect_cliques(maximal_cliques(df))
+    assert got == oracle
+
+
+def test_cliques_with_degeneracy_order(spark):
+    pairs = random_graph(30, 140, seed=4)
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    order, degen = degeneracy_order(df)
+    assert degen >= 1
+    got = _collect_cliques(maximal_cliques(df, order=order))
+    assert got == python_bk(pairs)
+
+
+def test_clique_structures(spark):
+    # K4 + attached triangle + pendant edge
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    extra = [(3, 4), (4, 5), (3, 5), (5, 6)]
+    df = spark.createDataFrame(k4 + extra, "src long, dst long")
+    got = _collect_cliques(maximal_cliques(df))
+    assert got == [(0, 1, 2, 3), (3, 4, 5), (5, 6)]
+    assert maximal_clique_count(df) == 3
+
+
+def test_degeneracy_value(spark):
+    # a k-core graph: K5 has degeneracy 4; adding a path keeps it 4
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    path = [(5, 6), (6, 7)]
+    df = spark.createDataFrame(k5 + path, "src long, dst long")
+    _, degen = degeneracy_order(df)
+    assert degen == 4
