@@ -1,0 +1,95 @@
+"""Structured-Streaming ingest for a continuously crawled pages corpus.
+
+The reference is batch-only (SURVEY.md §2.6 — no streaming surface); these
+operators extend the engine to the incremental-crawl setting a web-scale
+deployment needs:
+
+- ``stream_pages``        — readStream over a pages directory (new parquet
+  files = newly crawled WARC batches).
+- ``stream_link_edges``   — incremental link extraction: the SAME pure
+  column expressions as the batch extractor (sources.extract), so batch
+  and stream agree row-for-row; appends (src_url, dst_url, warc_ts) to an
+  edge sink exactly-once via the streaming checkpoint.
+- ``stream_link_rates``   — watermarked sliding-window counts of extracted
+  links per language (late data handled by the watermark).
+
+Incremental graph maintenance = append-only edge log + periodic compaction
+(orient/distinct) — the batch operators then run on any snapshot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from graphsetintersection_spark.sources.extract import _HREF_RE
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def stream_pages(spark: SparkSession, pages_dir: str) -> DataFrame:
+    return (
+        spark.readStream.format("parquet")
+        .schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .load(pages_dir)
+    )
+
+
+def stream_link_edges(pages_stream: DataFrame) -> DataFrame:
+    """Incremental (src_url, dst_url, warc_ts, lang) link stream — identical
+    extraction semantics to the batch path."""
+    hrefs = F.regexp_extract_all(
+        F.decode(F.col("html"), "UTF-8"), F.lit(_HREF_RE), F.lit(1)
+    )
+    return (
+        pages_stream.select(
+            F.col("url").alias("src_url"), "warc_ts", "lang", hrefs.alias("hrefs")
+        )
+        .select("src_url", "warc_ts", "lang", F.explode("hrefs").alias("dst_url"))
+        .where(F.col("dst_url") != "")
+    )
+
+
+def start_edge_sink(
+    edges_stream: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """Exactly-once append of the edge log (resume = restart with the same
+    checkpoint dir — Structured Streaming replays nothing twice)."""
+    return (
+        edges_stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_link_rates(
+    edges_stream: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked sliding-window link counts per language."""
+    return (
+        edges_stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window, slide), "lang")
+        .agg(F.count("*").alias("n_links"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "lang",
+            "n_links",
+        )
+    )

@@ -1,0 +1,105 @@
+"""Streaming ingest: batch/stream extraction parity, exactly-once resume,
+and watermarked windowed aggregation."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from graphsetintersection_spark.sources.extract import extract_links
+from graphsetintersection_spark.sources.pages import generate_pages
+from graphsetintersection_spark.streaming.ingest import (
+    start_edge_sink,
+    stream_link_edges,
+    stream_link_rates,
+    stream_pages,
+)
+
+
+def _write_pages(spark, path, n=120, seed=5, files=6):
+    generate_pages(spark, n, avg_links=5.0, seed=seed).repartition(files).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def test_stream_matches_batch_extraction(spark, tmp_path):
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "edges")
+    ck_dir = str(tmp_path / "ck")
+    _write_pages(spark, pages_dir)
+
+    stream = stream_link_edges(stream_pages(spark, pages_dir))
+    q = start_edge_sink(stream, out_dir, ck_dir)
+    q.awaitTermination(120)
+
+    got = (
+        spark.read.parquet(out_dir)
+        .select("src_url", "dst_url")
+        .orderBy("src_url", "dst_url")
+        .collect()
+    )
+    batch = (
+        extract_links(spark.read.parquet(pages_dir))
+        .orderBy("src_url", "dst_url")
+        .collect()
+    )
+    assert [(r["src_url"], r["dst_url"]) for r in got] == [
+        (r["src_url"], r["dst_url"]) for r in batch
+    ]
+
+
+def test_stream_resume_is_exactly_once(spark, tmp_path):
+    pages_dir = str(tmp_path / "pages2")
+    out_dir = str(tmp_path / "edges2")
+    ck_dir = str(tmp_path / "ck2")
+    _write_pages(spark, pages_dir)
+
+    stream = stream_link_edges(stream_pages(spark, pages_dir))
+    q = start_edge_sink(stream, out_dir, ck_dir)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out_dir).count()
+
+    # restart with the same checkpoint: no new files → no duplicates
+    q2 = start_edge_sink(stream, out_dir, ck_dir)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == n1
+
+    # add a new batch of pages → only the delta is appended
+    extra_dir = str(tmp_path / "pages2" )
+    generate_pages(spark, 30, avg_links=5.0, seed=99).write.mode("append").parquet(
+        extra_dir
+    )
+    q3 = start_edge_sink(stream, out_dir, ck_dir)
+    q3.awaitTermination(120)
+    n3 = spark.read.parquet(out_dir).count()
+    delta = extract_links(generate_pages(spark, 30, avg_links=5.0, seed=99)).count()
+    assert n3 == n1 + delta
+
+
+def test_windowed_link_rates(spark, tmp_path):
+    pages_dir = str(tmp_path / "pages3")
+    _write_pages(spark, pages_dir, n=200)
+    rates = stream_link_rates(stream_link_edges(stream_pages(spark, pages_dir)))
+    q = (
+        rates.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rates_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits closed windows; check the query ran and the
+    # aggregation is well-formed via the complete-mode equivalent
+    q2 = (
+        rates.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("rates_all")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    rows = spark.sql("select * from rates_all").collect()
+    assert len(rows) > 0
+    total = sum(r["n_links"] for r in rows)
+    batch_total = extract_links(spark.read.parquet(pages_dir)).count()
+    # sliding windows double-count by design (window/slide = 2)
+    assert total == 2 * batch_total
