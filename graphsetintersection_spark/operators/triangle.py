@@ -48,22 +48,50 @@ def triangle_count_join(edges: DataFrame) -> int:
     return ab.join(bc, "b").join(ac, ["a", "c"]).count()
 
 
-def _edge_with_lower_adj(edges: DataFrame) -> DataFrame:
+def _join_adj(e: DataFrame, adj: DataFrame, key: str, out: str,
+              hub_deg_ratio: float | None) -> DataFrame:
+    """Join edge rows with adjacency on ``key``, optionally splitting the
+    adjacency into a broadcast hub slice + a shuffled rest.
+
+    Zipf web graphs concentrate degree in few hubs (reference
+    select_bignode, src/porder.cpp:353-392; SlashBurn hub isolation
+    :1009-1114). The hub slice is few ROWS (top vertices covering
+    ``hub_deg_ratio`` of total degree) but most of the JOIN MATCHES — the
+    exact shape where a broadcast beats a shuffle and where a plain
+    shuffle join skews. AQE skew-split remains the backstop for the rest."""
+    renamed = adj.withColumnRenamed("nbrs", out).withColumnRenamed("v", "_k")
+    if hub_deg_ratio is None:
+        return e.join(renamed, e[key] == F.col("_k")).drop("_k")
+    deg = adj.select("v", F.size("nbrs").alias("deg"))
+    total = deg.agg(F.sum("deg")).collect()[0][0] or 0
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("deg").desc(), F.col("v").asc())
+    hubs = (
+        deg.select("v", "deg", (F.sum("deg").over(w) - F.col("deg")).alias("cum"))
+        .where(F.col("cum") < float(total) * hub_deg_ratio)
+        .select(F.col("v").alias("_k"))
+    )
+    adj_hub = F.broadcast(renamed.join(hubs, "_k"))
+    adj_rest = renamed.join(hubs, "_k", "left_anti")
+    part_hub = e.join(adj_hub, e[key] == F.col("_k")).drop("_k")
+    part_rest = e.join(adj_rest, e[key] == F.col("_k")).drop("_k")
+    return part_hub.unionByName(part_rest)
+
+
+def _edge_with_lower_adj(
+    edges: DataFrame, hub_deg_ratio: float | None = None
+) -> DataFrame:
     """Joined frame (src, dst, nbrs_a, nbrs_b) of smaller-id adjacency for
     both endpoints of each oriented edge. Two shuffles; the oriented edge
     list is reused for both the iteration list and the adjacency source,
-    mirroring the reference build (src/bitpack_triangle_count.cpp:18-68)."""
+    mirroring the reference build (src/bitpack_triangle_count.cpp:18-68).
+    ``hub_deg_ratio`` enables the broadcast-hub-adjacency split."""
     e = orient(edges).select("src", "dst")
     adj = lower_adjacency(e)
-    return (
-        e.join(adj.withColumnRenamed("nbrs", "nbrs_a"), e.src == adj.v)
-        .drop("v")
-        .join(
-            adj.withColumnRenamed("nbrs", "nbrs_b").withColumnRenamed("v", "v2"),
-            F.col("dst") == F.col("v2"),
-        )
-        .select("src", "dst", "nbrs_a", "nbrs_b")
-    )
+    j1 = _join_adj(e, adj, "src", "nbrs_a", hub_deg_ratio)
+    j2 = _join_adj(j1, adj, "dst", "nbrs_b", hub_deg_ratio)
+    return j2.select("src", "dst", "nbrs_a", "nbrs_b")
 
 
 def triangle_count_arrays(edges: DataFrame) -> int:
@@ -101,13 +129,17 @@ def _count_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         )
 
 
-def triangle_count_kernel(edges: DataFrame) -> int:
+def triangle_count_kernel(
+    edges: DataFrame, hub_deg_ratio: float | None = None
+) -> int:
     """Adjacency + vectorized numpy batch kernel via mapInArrow.
 
     Each Arrow batch contributes one partial count (the reference's
     per-thread ``con_res[id]`` partials, src/bitpack_triangle_count
-    .cpp:150-205); Spark's ``sum`` does the final reduce."""
-    joined = _edge_with_lower_adj(edges)
+    .cpp:150-205); Spark's ``sum`` does the final reduce.
+    ``hub_deg_ratio`` (e.g. 0.3) turns on the broadcast-hub-adjacency
+    split for Zipf-skewed graphs."""
+    joined = _edge_with_lower_adj(edges, hub_deg_ratio)
     partials = joined.mapInArrow(_count_batches, "tri long")
     row = partials.agg(F.sum("tri").alias("tri")).collect()[0]
     return int(row["tri"] or 0)

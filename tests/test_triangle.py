@@ -47,6 +47,20 @@ def test_triangle_parity_medium(spark):
     assert triangle_count_kernel(df) == expected
 
 
+def test_triangle_hub_split_parity(spark):
+    """Broadcast-hub-adjacency split must not change the count (skew path
+    vs plain path — another cross-implementation parity check)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    n = 300
+    dst = (n * rng.random(3000) ** 3).astype(int)  # Zipf-ish hubs
+    src = rng.integers(0, n, 3000)
+    pairs = [(int(a), int(b)) for a, b in zip(src, dst) if a != b]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    assert triangle_count_kernel(df, hub_deg_ratio=0.3) == brute_triangles(pairs)
+
+
 def test_triangles_per_edge_sums_to_total(spark, tiny_graph):
     pairs, df = tiny_graph
     per_edge = triangles_per_edge(df)
