@@ -7,7 +7,7 @@ Prints ONE JSON line:
 
 The north-rule metric is triangle-count + PageRank-iteration throughput in
 edges/sec over the synthetic Common-Crawl-style corpus; scaling-efficiency
-evidence (local[8] vs local[32]) is produced by BENCH/scaling.py which
+evidence (two CPU-pinned cluster sizes) is produced by BENCH/scaling.py which
 re-invokes this file at two parallelism levels.
 """
 
@@ -84,7 +84,7 @@ def main() -> None:
     # ---- PageRank iterations — north-rule throughput metric
     timed(
         "pagerank_iters",
-        lambda: pagerank(relabeled, max_iter=PR_BENCH_ITERS, tol=None),
+        lambda: pagerank(relabeled, max_iter=PR_BENCH_ITERS, tol=None).ranks.count(),
     )
     throughput["pagerank_edges_per_sec_per_iter"] = round(
         n_edges * PR_BENCH_ITERS / timings["pagerank_iters"], 1
@@ -102,8 +102,15 @@ def main() -> None:
         .labels.count(),
     )
 
-    # ---- oracle-gated queries at this sf (cheap correctness-comparable set)
+    # ---- training-data pipeline ops over the driver tables
     q = entry_mod.queries()
+    for name in (
+        "exact_dedup", "minhash_lsh_dedup", "ann_cosine_topk",
+        "doc_stats", "lang_id",
+    ):
+        timed(name, lambda n=name: q[n](spark, SF_DIR).collect())
+
+    # ---- oracle-gated graph queries at this sf
     for name in ("triangle_count", "pagerank", "degree_relabel"):
         timed(f"lgraph_{name}", lambda n=name: q[n](spark, SF_DIR).collect())
 

@@ -43,7 +43,8 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 _MAGIC = b"FAKEMEDIA1"
-_HEADER = struct.Struct("<10sHHI")  # magic, width, height, n_frames
+_HEADER_FMT = "<10sHHI"  # magic, width, height, n_frames
+_HEADER_SIZE = struct.calcsize(_HEADER_FMT)
 
 
 def make_fake_media(
@@ -63,7 +64,7 @@ def make_fake_media(
                 w, h = 8 + int(mid) % 24, 8 + (int(mid) * 7) % 24
                 frames = 1 if kind == "image" else 4 + int(mid) % 8
                 pixels = rng.integers(0, 256, w * h * frames, dtype=np.uint8)
-                payload = _HEADER.pack(_MAGIC, w, h, frames) + pixels.tobytes()
+                payload = struct.pack(_HEADER_FMT, _MAGIC, w, h, frames) + pixels.tobytes()
                 rows.append(
                     (
                         int(mid), kind, payload,
@@ -87,8 +88,8 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, int, np.ndarray]:
             "real image decoding not available in this environment; "
             "payload is not FAKEMEDIA"
         )
-    magic, w, h, frames = _HEADER.unpack(payload[: _HEADER.size])
-    px = np.frombuffer(payload, dtype=np.uint8, offset=_HEADER.size)
+    magic, w, h, frames = struct.unpack(_HEADER_FMT, payload[:_HEADER_SIZE])
+    px = np.frombuffer(payload, dtype=np.uint8, offset=_HEADER_SIZE)
     return w, h, frames, px
 
 
@@ -156,7 +157,7 @@ def frame_sample(media: DataFrame, every_k: int = 2) -> DataFrame:
     return vids.select("media_id", "frame_bytes", idx).select(
         "media_id",
         "frame_idx",
-        (F.lit(_HEADER.size) + F.col("frame_idx") * F.col("frame_bytes")).alias(
+        (F.lit(_HEADER_SIZE) + F.col("frame_idx") * F.col("frame_bytes")).alias(
             "byte_offset"
         ),
     )

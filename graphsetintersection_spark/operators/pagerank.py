@@ -69,10 +69,20 @@ def pagerank(
     out_deg = e.groupBy(F.col("src").alias("v")).agg(
         F.count("*").alias("out_deg")
     )
-    # hoisted out of the loop: every edge annotated with its source outdeg
-    e_deg = e.join(
-        out_deg.withColumnRenamed("v", "src"), "src"
-    ).persist()
+    # ranks-side join strategy: while the rank vector fits in executor
+    # memory (~16B/vertex) it is BROADCAST each iteration and the edge
+    # table is hash-partitioned by dst — then the contribution aggregation
+    # needs NO exchange at all (already co-located on its grouping key):
+    # zero per-iteration shuffle, the edges stay stationary. Beyond that,
+    # edges partition by src (Catalyst-visible), only ranks shuffles for
+    # the join, and the dst aggregation is the one remaining exchange —
+    # the standard ship-vertex-state iterative-graph strategy either way.
+    broadcast_ranks = n <= 50_000_000
+    e_deg = (
+        e.join(out_deg.withColumnRenamed("v", "src"), "src")
+        .repartition("dst" if broadcast_ranks else "src")
+        .persist()
+    )
     e_deg.count()  # materialize once
 
     start_iter = 0
@@ -87,8 +97,11 @@ def pagerank(
     deltas: list[float] = []
     it = start_iter
     for it in range(start_iter, max_iter):
+        ranks_src = ranks.withColumnRenamed("v", "src")
+        if broadcast_ranks:
+            ranks_src = F.broadcast(ranks_src)
         contribs = (
-            e_deg.join(ranks.withColumnRenamed("v", "src"), "src")
+            e_deg.join(ranks_src, "src")
             .groupBy(F.col("dst").alias("v"))
             .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("contrib"))
         )
@@ -115,26 +128,38 @@ def pagerank(
             )
         )
 
+        # materialize each iteration exactly once: the rank vector is
+        # referenced by several subplans (contribs, dangling, delta, next
+        # iteration) — without a barrier Catalyst would re-execute the
+        # whole prefix per reference (exponential blowup). localCheckpoint
+        # also truncates plan lineage; the CheckpointManager commit does
+        # the same through the durable snapshot.
         delta = None
-        if tol is not None:
-            delta = (
-                new_ranks.withColumnRenamed("rank", "new_rank")
-                .join(ranks, "v")
-                .agg(F.max(F.abs(F.col("new_rank") - F.col("rank"))))
-                .collect()[0][0]
-            )
-            deltas.append(float(delta))
-
         if checkpointer is not None and (it % checkpoint_every == 0 or it == max_iter - 1):
+            if tol is not None:
+                delta = (
+                    new_ranks.withColumnRenamed("rank", "new_rank")
+                    .join(ranks, "v")
+                    .agg(F.max(F.abs(F.col("new_rank") - F.col("rank"))))
+                    .collect()[0][0]
+                )
+                deltas.append(float(delta))
             new_ranks = checkpointer.commit(
                 new_ranks,
                 it,
                 metrics={"delta": float(delta) if delta is not None else None,
                          "n_vertices": n},
             )
-        elif it % 5 == 4:
-            # lineage truncation even without a checkpointer
+        else:
             new_ranks = new_ranks.localCheckpoint(eager=True)
+            if tol is not None:
+                delta = (
+                    new_ranks.withColumnRenamed("rank", "new_rank")
+                    .join(ranks, "v")
+                    .agg(F.max(F.abs(F.col("new_rank") - F.col("rank"))))
+                    .collect()[0][0]
+                )
+                deltas.append(float(delta))
 
         ranks = new_ranks
         if tol is not None and delta is not None and delta < tol:

@@ -7,8 +7,11 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
+import struct as _struct
+
 from graphsetintersection_spark.functions.multimodal import (
-    _HEADER,
+    _HEADER_FMT,
+    _HEADER_SIZE,
     _MAGIC,
     decode_image_features,
     frame_sample,
@@ -43,8 +46,8 @@ def test_decode_features_oracle(spark, media):
     feats = {r["media_id"]: r for r in decode_image_features(media).collect()}
     for r in media.collect():
         payload = bytes(r["payload"])
-        magic, w, h, frames = _HEADER.unpack(payload[: _HEADER.size])
-        px = np.frombuffer(payload, dtype=np.uint8, offset=_HEADER.size)
+        magic, w, h, frames = _struct.unpack(_HEADER_FMT, payload[:_HEADER_SIZE])
+        px = np.frombuffer(payload, dtype=np.uint8, offset=_HEADER_SIZE)
         f = feats[r["media_id"]]
         assert (f["width"], f["height"], f["n_frames"]) == (w, h, frames)
         assert f["mean_pixel"] == pytest.approx(px.mean(), abs=1e-9)
@@ -67,11 +70,11 @@ def test_frame_sample_offsets(spark, media):
         by_id.setdefault(r["media_id"], []).append(r)
     payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
     for mid, lst in by_id.items():
-        _, w, h, frames = _HEADER.unpack(payloads[mid][: _HEADER.size])
+        _, w, h, frames = _struct.unpack(_HEADER_FMT, payloads[mid][:_HEADER_SIZE])
         idxs = sorted(r["frame_idx"] for r in lst)
         assert idxs == list(range(0, frames, 2))
         for r in lst:
-            assert r["byte_offset"] == _HEADER.size + r["frame_idx"] * w * h
+            assert r["byte_offset"] == _HEADER_SIZE + r["frame_idx"] * w * h
             # every sampled frame's bytes are in-bounds
             assert r["byte_offset"] + w * h <= len(payloads[mid])
 
