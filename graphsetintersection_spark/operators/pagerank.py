@@ -53,6 +53,7 @@ def pagerank(
     checkpointer: CheckpointManager | None = None,
     checkpoint_every: int = 1,
     dedup: bool = True,
+    broadcast_ranks: bool | None = None,
 ) -> PageRankResult:
     """Run PageRank to convergence (or ``max_iter``). ``tol=None`` runs a
     fixed iteration count (used for oracle parity). Resumes automatically
@@ -77,7 +78,8 @@ def pagerank(
     # edges partition by src (Catalyst-visible), only ranks shuffles for
     # the join, and the dst aggregation is the one remaining exchange —
     # the standard ship-vertex-state iterative-graph strategy either way.
-    broadcast_ranks = n <= 50_000_000
+    if broadcast_ranks is None:
+        broadcast_ranks = n <= 50_000_000
     e_deg = (
         e.join(out_deg.withColumnRenamed("v", "src"), "src")
         .repartition("dst" if broadcast_ranks else "src")
@@ -93,6 +95,13 @@ def pagerank(
             start_iter, ranks = restored
             start_iter += 1
 
+    # Per round: the contribution vector is cached transiently (one
+    # execution feeds both the Σcontrib scalar and the new rank view), the
+    # dangling mass is D = 1 − Σcontribs (rank mass is conserved, Σr = 1 —
+    # algebraically identical to summing dangling vertices' ranks, and one
+    # fewer pass over the rank vector), and the new rank vector is
+    # materialized WITH lineage truncation (localCheckpoint / durable
+    # snapshot commit) so the logical plan stays O(1) across iterations.
     converged = False
     deltas: list[float] = []
     it = start_iter
@@ -104,63 +113,56 @@ def pagerank(
             e_deg.join(ranks_src, "src")
             .groupBy(F.col("dst").alias("v"))
             .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("contrib"))
+            .persist()
         )
-        # dangling mass folded into the plan as a 1-row cross join — no
-        # extra action per iteration (matters: driver round-trips dominate
-        # iteration latency; on a cluster it also removes a job barrier)
-        dangling_df = (
-            ranks.join(out_deg, "v", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling"))
-        )
-        new_ranks = (
-            verts.join(contribs, "v", "left")
-            .crossJoin(F.broadcast(dangling_df))
-            .select(
-                "v",
-                (
-                    F.lit((1.0 - alpha) / n)
-                    + F.lit(alpha)
-                    * (
-                        F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.col("_dangling") / F.lit(float(n))
-                    )
-                ).alias("rank"),
-            )
+        # one driver round-trip per iteration: materializes the contribs
+        # cache AND yields the dangling mass D = 1 − Σcontribs as a scalar
+        tot = contribs.agg(
+            F.coalesce(F.sum("contrib"), F.lit(0.0))
+        ).collect()[0][0]
+        new_ranks = verts.join(contribs, "v", "left").select(
+            "v",
+            (
+                F.lit((1.0 - alpha) / n)
+                + F.lit(alpha)
+                * (
+                    F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + F.lit((1.0 - float(tot)) / n)
+                )
+            ).alias("rank"),
         )
 
-        # materialize each iteration exactly once: the rank vector is
-        # referenced by several subplans (contribs, dangling, delta, next
-        # iteration) — without a barrier Catalyst would re-execute the
-        # whole prefix per reference (exponential blowup). localCheckpoint
-        # also truncates plan lineage; the CheckpointManager commit does
-        # the same through the durable snapshot.
-        delta = None
+        # materialize + TRUNCATE lineage every iteration: localCheckpoint
+        # (or the durable snapshot commit) replaces the logical plan with a
+        # leaf — without this, each round's analyzed plan nests the whole
+        # history and the driver's analyzer eventually exhausts the heap.
         if checkpointer is not None and (it % checkpoint_every == 0 or it == max_iter - 1):
-            if tol is not None:
-                delta = (
-                    new_ranks.withColumnRenamed("rank", "new_rank")
-                    .join(ranks, "v")
-                    .agg(F.max(F.abs(F.col("new_rank") - F.col("rank"))))
-                    .collect()[0][0]
-                )
-                deltas.append(float(delta))
+            pre_commit = new_ranks
+            new_ranks = None
+        else:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+
+        delta = None
+        if tol is not None:
+            target = new_ranks if new_ranks is not None else pre_commit
+            delta = (
+                target.withColumnRenamed("rank", "new_rank")
+                .join(ranks, "v")
+                .agg(F.max(F.abs(F.col("new_rank") - F.col("rank"))))
+                .collect()[0][0]
+            )
+            deltas.append(float(delta))
+
+        if new_ranks is None:
             new_ranks = checkpointer.commit(
-                new_ranks,
+                pre_commit,
                 it,
                 metrics={"delta": float(delta) if delta is not None else None,
                          "n_vertices": n},
             )
-        else:
-            new_ranks = new_ranks.localCheckpoint(eager=True)
-            if tol is not None:
-                delta = (
-                    new_ranks.withColumnRenamed("rank", "new_rank")
-                    .join(ranks, "v")
-                    .agg(F.max(F.abs(F.col("new_rank") - F.col("rank"))))
-                    .collect()[0][0]
-                )
-                deltas.append(float(delta))
 
+        # new_ranks is now self-contained; the contribs cache can go
+        contribs.unpersist()
         ranks = new_ranks
         if tol is not None and delta is not None and delta < tol:
             converged = True
