@@ -115,21 +115,26 @@ def pagerank(
             .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("contrib"))
             .persist()
         )
-        # one driver round-trip per iteration: materializes the contribs
-        # cache AND yields the dangling mass D = 1 − Σcontribs as a scalar
-        tot = contribs.agg(
-            F.coalesce(F.sum("contrib"), F.lit(0.0))
-        ).collect()[0][0]
-        new_ranks = verts.join(contribs, "v", "left").select(
-            "v",
-            (
-                F.lit((1.0 - alpha) / n)
-                + F.lit(alpha)
-                * (
-                    F.coalesce(F.col("contrib"), F.lit(0.0))
-                    + F.lit((1.0 - float(tot)) / n)
-                )
-            ).alias("rank"),
+        # dangling mass D = 1 − Σcontribs folded into the plan as a 1-row
+        # broadcast over the SAME transient cache — no extra driver action;
+        # the single materialization below executes contribs exactly once
+        tot_df = contribs.agg(
+            F.coalesce(F.sum("contrib"), F.lit(0.0)).alias("_tot")
+        )
+        new_ranks = (
+            verts.join(contribs, "v", "left")
+            .crossJoin(F.broadcast(tot_df))
+            .select(
+                "v",
+                (
+                    F.lit((1.0 - alpha) / n)
+                    + F.lit(alpha)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + (F.lit(1.0) - F.col("_tot")) / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
         )
 
         # materialize + TRUNCATE lineage every iteration: localCheckpoint
