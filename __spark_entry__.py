@@ -530,9 +530,9 @@ g as materialized (
 ),
 s as materialized (
   select user_id, es,
-    sum(is_new) over (partition by user_id order by ts, event_id
-                      rows between unbounded preceding and current row)
-      as session_idx
+    cast(sum(is_new) over (partition by user_id order by ts, event_id
+                           rows between unbounded preceding and current row)
+         as bigint) as session_idx
   from g
 )
 select user_id, session_idx, count(*) as n_events,
@@ -596,9 +596,9 @@ deg as (
 ),
 ranked as (
   select v, deg,
-         sum(deg) over (order by deg desc, v asc
-                        rows between unbounded preceding and current row)
-           as cum_deg
+         cast(sum(deg) over (order by deg desc, v asc
+                             rows between unbounded preceding and current row)
+              as bigint) as cum_deg
   from deg
 )
 select v, deg, cum_deg from ranked

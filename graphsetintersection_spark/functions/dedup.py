@@ -36,9 +36,15 @@ _MH_PRIME = (1 << 31) - 1
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact duplicate groups: (rep_id, n_copies, doc_ids) per distinct
-    text; rep_id = min doc id. One hash shuffle on the text hash."""
+    text; rep_id = min doc id. One hash shuffle.
+
+    Groups by BOTH the 64-bit text hash and the text itself: the hash is
+    the cheap shuffle key, the text keeps equality exact — at 10^10+ docs
+    a 64-bit hash alone would silently merge colliding distinct texts."""
     return (
-        docs.groupBy(F.xxhash64(F.col(text_col)).alias("text_hash"))
+        docs.groupBy(
+            F.xxhash64(F.col(text_col)).alias("text_hash"), F.col(text_col)
+        )
         .agg(
             F.min(id_col).alias("rep_id"),
             F.count("*").alias("n_copies"),
@@ -49,8 +55,12 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def dedup_keep_first(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Deduplicated corpus: keep the min-id document per distinct text."""
-    w = Window.partitionBy(F.xxhash64(F.col(text_col))).orderBy(F.col(id_col))
+    """Deduplicated corpus: keep the min-id document per distinct text.
+    Window partitioned by (hash, text) — exact equality, hash as the
+    shuffle-key prefix; no global window."""
+    w = Window.partitionBy(
+        F.xxhash64(F.col(text_col)), F.col(text_col)
+    ).orderBy(F.col(id_col))
     return (
         docs.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
@@ -205,11 +215,60 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
-    exact = ngram_jaccard_pairs(
-        docs, n=n, threshold=threshold, id_col=id_col, text_col=text_col,
-        max_shingle_df=None,
+    exact = jaccard_for_pairs(docs, cand, n=n, id_col=id_col, text_col=text_col)
+    return exact.where(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
     )
-    return cand.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+
+def jaccard_for_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard computed ONLY for the given (id_a, id_b) pairs.
+
+    This is the LSH verify step: a semi-join restricts the shingle table to
+    candidate documents, then each candidate pair's intersection is counted
+    by joining the pair list through the shingles — never an all-pairs
+    shingle self-join over the corpus (which would negate the LSH's whole
+    cost saving at scale). Pairs with zero shared shingles get jaccard 0.
+    """
+    sh = shingles(docs, n, id_col, text_col)
+    ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_c = sh.join(ids, "doc_id").persist()
+    sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    ca = pairs.join(
+        sh_c.withColumnRenamed("doc_id", "id_a"), "id_a"
+    )  # (id_a, id_b, shingle)
+    inter = (
+        ca.join(
+            sh_c.select(F.col("doc_id").alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.withColumnRenamed("doc_id", "id_a")
+              .withColumnRenamed("n_sh", "na"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b")
+              .withColumnRenamed("n_sh", "nb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.coalesce(F.col("i"), F.lit(0))
+             / (F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0)))
+             ).alias("jaccard"),
+        )
+    )
 
 
 def simhash_signatures(

@@ -162,6 +162,20 @@ def bsr_intersect(
 # batch kernels — whole-Arrow-batch, zero per-row Python
 # ---------------------------------------------------------------------------
 
+def _check_row_shift(vals_a: np.ndarray, vals_b: np.ndarray) -> None:
+    """The row-offset trick packs (row << ROW_SHIFT) | value into one int64;
+    a value outside [0, 2^ROW_SHIFT) silently corrupts counts. Guard here so
+    un-relabeled id spaces (e.g. raw hash ids) fail loudly instead."""
+    lim = np.int64(1) << ROW_SHIFT
+    for vals in (vals_a, vals_b):
+        if len(vals) and (vals.min() < 0 or vals.max() >= lim):
+            raise ValueError(
+                f"batch kernel requires ids in [0, 2^{ROW_SHIFT}); got "
+                f"[{vals.min()}, {vals.max()}] — relabel to continuous ids "
+                f"first (operators.relabel.continuous_ids)"
+            )
+
+
 def _flatten(lists) -> tuple[np.ndarray, np.ndarray]:
     """List of int arrays → (concatenated values, row lengths)."""
     lens = np.fromiter((len(x) for x in lists), dtype=np.int64, count=len(lists))
@@ -187,6 +201,7 @@ def batch_intersect_count(
     assert len(lens_b) == n
     if n == 0:
         return np.empty(0, dtype=np.int64)
+    _check_row_shift(vals_a, vals_b)
     row_a = np.repeat(np.arange(n, dtype=np.int64), lens_a)
     row_b = np.repeat(np.arange(n, dtype=np.int64), lens_b)
     key_a = (row_a << ROW_SHIFT) | vals_a
@@ -213,6 +228,7 @@ def batch_membership(
     """Boolean mask over vals_a: is a-value present in the same row's B?
     Building block for batch intersect-materialize and difference."""
     n = len(lens_a)
+    _check_row_shift(vals_a, vals_b)
     row_a = np.repeat(np.arange(n, dtype=np.int64), lens_a)
     row_b = np.repeat(np.arange(n, dtype=np.int64), lens_b)
     key_a = (row_a << ROW_SHIFT) | vals_a

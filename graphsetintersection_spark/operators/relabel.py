@@ -26,11 +26,12 @@ Also here:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphsetintersection_spark.kernels import PACK_SHIFT
 from graphsetintersection_spark.operators.edges import degrees
+from graphsetintersection_spark.plans.assign import global_order_stats
 
 
 def degree_order(edges: DataFrame, descending: bool = True) -> DataFrame:
@@ -41,11 +42,8 @@ def degree_order(edges: DataFrame, descending: bool = True) -> DataFrame:
     new_id is 0-based and continuous — the invariant the reference demands
     of all graphs (README.md:44).
 
-    Scale note: the window has a single global ordering; Spark executes
-    row_number over a range-partitioned sort (no single-reducer collapse is
-    avoided only for rank-like windows with partition keys). For true
-    10^12-vertex scale, swap to the zipWithIndex-style two-phase id assign:
-    sort, count per partition, prefix-sum offsets — semantics identical.
+    Distributed: two-phase range-shuffle id assignment
+    (plans.assign.global_order_stats), no single-reducer global window.
     """
     deg = degrees(edges)
     order_cols = (
@@ -53,25 +51,22 @@ def degree_order(edges: DataFrame, descending: bool = True) -> DataFrame:
         if descending
         else [F.col("deg").asc(), F.col("v").asc()]
     )
-    w = Window.orderBy(*order_cols)
-    return deg.select(
-        F.col("v").alias("org_id"),
-        (F.row_number().over(w) - 1).cast("long").alias("new_id"),
-    )
+    out = global_order_stats(deg, order_cols, rank_col="new_id")
+    return out.select(F.col("v").alias("org_id"), "new_id")
 
 
 def continuous_ids(edges: DataFrame, id_col_name: str = "org_id") -> DataFrame:
     """Arbitrary vertex ids → continuous 0-based (python/trans_graph.py:3-22).
-    Deterministic: ordered by original id."""
+    Deterministic: ordered by original id. Two-phase distributed assign."""
     verts = (
         edges.select(F.col("src").alias(id_col_name))
         .union(edges.select(F.col("dst").alias(id_col_name)))
         .distinct()
     )
-    w = Window.orderBy(F.col(id_col_name).asc())
-    return verts.select(
-        id_col_name, (F.row_number().over(w) - 1).cast("long").alias("new_id")
+    out = global_order_stats(
+        verts, [F.col(id_col_name).asc()], rank_col="new_id"
     )
+    return out.select(id_col_name, "new_id")
 
 
 def apply_order(edges: DataFrame, order: DataFrame) -> DataFrame:
@@ -116,16 +111,47 @@ def select_bignode(edges: DataFrame, deg_ratio: float = 0.3) -> DataFrame:
     """Smallest set of highest-degree vertices covering ``deg_ratio`` of
     total degree (reference src/porder.cpp:353-392). Returns
     (v, deg, cum_deg). Used to pick the hub set for adjacency broadcast
-    and salted aggregation."""
+    and salted aggregation. The cumulative degree is computed with the
+    two-phase distributed prefix sum, not a global window."""
     deg = degrees(edges)
     total = deg.agg(F.sum("deg")).collect()[0][0] or 0
-    w = Window.orderBy(F.col("deg").desc(), F.col("v").asc())
-    ranked = deg.select(
-        "v", "deg", F.sum("deg").over(w).alias("cum_deg")
+    ranked = global_order_stats(
+        deg,
+        [F.col("deg").desc(), F.col("v").asc()],
+        cumsum_of="deg",
+        cumsum_col="cum_deg",
     )
     # keep rows until cumulative degree first reaches the threshold
     thresh = float(total) * deg_ratio
     return ranked.where(F.col("cum_deg") - F.col("deg") < thresh)
+
+
+def hub_degree_threshold(deg: DataFrame, deg_ratio: float) -> int | None:
+    """Smallest degree value t such that vertices with deg >= t cover at
+    least ``deg_ratio`` of total degree — the scalar-threshold form of
+    select_bignode (src/porder.cpp:353-392) used where only a hub/non-hub
+    SPLIT is needed (broadcast/salting decisions), not the exact minimal
+    set. One small aggregate over the distinct-degree histogram
+    (O(distinct degrees) rows to the driver — O(sqrt E) for power-law
+    graphs), no global window.
+
+    ``deg`` is any frame with a ``deg`` column. Returns None for an empty
+    frame."""
+    hist = (
+        deg.groupBy("deg")
+        .agg(F.sum("deg").cast("long").alias("s"))
+        .collect()
+    )
+    if not hist:
+        return None
+    total = sum(r["s"] for r in hist)
+    want = float(total) * deg_ratio
+    acc = 0
+    for r in sorted(hist, key=lambda r: -r["deg"]):
+        acc += r["s"]
+        if acc >= want:
+            return int(r["deg"])
+    return int(min(r["deg"] for r in hist))
 
 
 def leaf_node_count(edges: DataFrame) -> int:

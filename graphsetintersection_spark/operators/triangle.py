@@ -62,33 +62,54 @@ def _join_adj(e: DataFrame, adj: DataFrame, key: str, out: str,
     renamed = adj.withColumnRenamed("nbrs", out).withColumnRenamed("v", "_k")
     if hub_deg_ratio is None:
         return e.join(renamed, e[key] == F.col("_k")).drop("_k")
-    deg = adj.select("v", F.size("nbrs").alias("deg"))
-    total = deg.agg(F.sum("deg")).collect()[0][0] or 0
-    from pyspark.sql import Window
+    from graphsetintersection_spark.operators.relabel import hub_degree_threshold
 
-    w = Window.orderBy(F.col("deg").desc(), F.col("v").asc())
-    hubs = (
-        deg.select("v", "deg", (F.sum("deg").over(w) - F.col("deg")).alias("cum"))
-        .where(F.col("cum") < float(total) * hub_deg_ratio)
-        .select(F.col("v").alias("_k"))
-    )
-    adj_hub = F.broadcast(renamed.join(hubs, "_k"))
-    adj_rest = renamed.join(hubs, "_k", "left_anti")
+    deg = adj.select("v", F.size("nbrs").alias("deg"))
+    t = hub_degree_threshold(deg, hub_deg_ratio)
+    if t is None:
+        return e.join(renamed, e[key] == F.col("_k")).drop("_k")
+    adj_hub = F.broadcast(renamed.where(F.size(out) >= t))
+    adj_rest = renamed.where(F.size(out) < t)
     part_hub = e.join(adj_hub, e[key] == F.col("_k")).drop("_k")
     part_rest = e.join(adj_rest, e[key] == F.col("_k")).drop("_k")
     return part_hub.unionByName(part_rest)
 
 
+AUTO_HUB_RATIO = 0.25
+
+
+def _auto_hub_ratio(adj: DataFrame) -> float | None:
+    """Decide whether the broadcast-hub split pays: on iff the max degree
+    dominates the mean (Zipf-style skew) and the hub lists are big enough
+    that a skewed shuffle matters. One small aggregate."""
+    row = adj.agg(
+        F.max(F.size("nbrs")).alias("mx"),
+        F.avg(F.size("nbrs")).alias("av"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    if not row["n"]:
+        return None
+    if row["mx"] >= 1024 and row["mx"] >= 16 * (row["av"] or 1.0):
+        return AUTO_HUB_RATIO
+    return None
+
+
 def _edge_with_lower_adj(
-    edges: DataFrame, hub_deg_ratio: float | None = None
+    edges: DataFrame, hub_deg_ratio: float | None | str = None
 ) -> DataFrame:
     """Joined frame (src, dst, nbrs_a, nbrs_b) of smaller-id adjacency for
     both endpoints of each oriented edge. Two shuffles; the oriented edge
     list is reused for both the iteration list and the adjacency source,
     mirroring the reference build (src/bitpack_triangle_count.cpp:18-68).
-    ``hub_deg_ratio`` enables the broadcast-hub-adjacency split."""
+    ``hub_deg_ratio`` enables the broadcast-hub-adjacency split; "auto"
+    turns it on only when the degree distribution is skewed."""
     e = orient(edges).select("src", "dst")
     adj = lower_adjacency(e)
+    if hub_deg_ratio == "auto":
+        adj = adj.persist()
+        hub_deg_ratio = _auto_hub_ratio(adj)
+    elif hub_deg_ratio is not None:
+        adj = adj.persist()  # reused by both joins + the threshold scan
     j1 = _join_adj(e, adj, "src", "nbrs_a", hub_deg_ratio)
     j2 = _join_adj(j1, adj, "dst", "nbrs_b", hub_deg_ratio)
     return j2.select("src", "dst", "nbrs_a", "nbrs_b")
@@ -130,7 +151,7 @@ def _count_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
 
 
 def triangle_count_kernel(
-    edges: DataFrame, hub_deg_ratio: float | None = None
+    edges: DataFrame, hub_deg_ratio: float | None | str = "auto"
 ) -> int:
     """Adjacency + vectorized numpy batch kernel via mapInArrow.
 
@@ -138,7 +159,8 @@ def triangle_count_kernel(
     per-thread ``con_res[id]`` partials, src/bitpack_triangle_count
     .cpp:150-205); Spark's ``sum`` does the final reduce.
     ``hub_deg_ratio`` (e.g. 0.3) turns on the broadcast-hub-adjacency
-    split for Zipf-skewed graphs."""
+    split for Zipf-skewed graphs; the default "auto" enables it only
+    when the degree distribution is actually skewed."""
     joined = _edge_with_lower_adj(edges, hub_deg_ratio)
     partials = joined.mapInArrow(_count_batches, "tri long")
     row = partials.agg(F.sum("tri").alias("tri")).collect()[0]

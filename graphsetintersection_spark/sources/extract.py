@@ -67,9 +67,11 @@ def link_edges(pages: DataFrame) -> DataFrame:
 
     The vertex dictionary assigns continuous 0-based ids ordered by url
     (deterministic; reference requires continuous ids, README.md:44 /
-    python/trans_graph.py). Degree-desc relabel (operators.relabel) is then
-    applied downstream as the densification step."""
-    from pyspark.sql import Window
+    python/trans_graph.py). Id assignment is the two-phase distributed
+    range-shuffle rank (plans.assign), not a single-reducer global window.
+    Degree-desc relabel (operators.relabel) is then applied downstream as
+    the densification step."""
+    from graphsetintersection_spark.plans.assign import global_order_stats
 
     links = extract_links(pages)
     urls = (
@@ -77,10 +79,9 @@ def link_edges(pages: DataFrame) -> DataFrame:
         .union(links.select(F.col("dst_url").alias("url")))
         .distinct()
     )
-    w = Window.orderBy("url")
-    vdict = urls.select(
-        "url", (F.row_number().over(w) - 1).cast("long").alias("vid")
-    )
+    vdict = global_order_stats(
+        urls, [F.col("url").asc()], rank_col="vid"
+    ).select("url", "vid")
     return (
         links.join(vdict.withColumnRenamed("url", "src_url"), "src_url")
         .withColumnRenamed("vid", "src")

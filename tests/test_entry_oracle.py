@@ -34,11 +34,18 @@ def normalize(rows, colnames):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
 
     def norm_val(v):
+        # type-preserving: an int and a float with equal value must NOT
+        # collapse (the driver's value-hash distinguishes them — a DuckDB
+        # HUGEINT read back as float64 hash-fails against a Spark bigint)
+        if isinstance(v, bool):
+            return f"bool:{v}"
         if isinstance(v, float):
             if math.isnan(v):
-                return "nan"
-            return f"{v:.9g}"
-        return str(v)
+                return "float:nan"
+            return f"float:{v:.9g}"
+        if isinstance(v, int):
+            return f"int:{v}"
+        return f"{type(v).__name__}:{v}"
 
     return sorted(tuple(norm_val(r[i]) for i in order) for r in rows)
 
