@@ -541,17 +541,92 @@ from s group by user_id, session_idx
 """
 
 
+# Polynomial rolling hash h = Σ ascii(c_i)·B^(i-1) mod M as a list_reduce
+# fold. DuckDB's list_reduce has no initial accumulator, so the (h, p)
+# state is packed into one bigint as h + p*M (max < M^2 ≈ 1e18 < 2^63) and
+# a prepended sentinel M encodes the initial state (h=0, p=1).
+_M = 1_000_000_007  # functions.text.FINGERPRINT_MOD
+_B = 31             # functions.text.FINGERPRINT_BASE
+_FINGERPRINT_SQL = f"""
+select doc_id,
+  list_reduce(
+    list_prepend(cast({_M} as bigint),
+      list_transform(generate_series(1, length(text)), i -> cast(i as bigint))),
+    (acc, i) ->
+      ((acc % {_M} + ascii(substr(text, cast(i as int), 1)) * (acc // {_M})) % {_M})
+      + (((acc // {_M}) * {_B}) % {_M}) * {_M}
+  ) % {_M} as fingerprint
+from documents
+"""
+
+
+def _maximal_cliques_oracle_sql() -> str:
+    """Maximal-clique size histogram by relational enumeration of K2/K3/K4
+    with explicit maximality (no extending vertex). Valid for graphs whose
+    maximum clique is ≤ 4 — if a K5 existed, the Spark histogram would have
+    a size-5 row the oracle lacks, failing the row-count check loudly."""
+    return f"""
+with edges as materialized ({_SGRAPH_EDGES}),
+und as materialized (
+  select src as u, dst as w from edges union select dst, src from edges
+),
+e as materialized (
+  select distinct least(src, dst) as a, greatest(src, dst) as b from edges
+),
+tri as materialized (
+  select e1.a as a, e1.b as b, e2.b as c
+  from e e1 join e e2 on e2.a = e1.b join e e3 on e3.a = e1.a and e3.b = e2.b
+),
+quad as materialized (
+  select t.a, t.b, t.c, u1.w as d
+  from tri t
+  join und u1 on u1.u = t.a and u1.w > t.c
+  join und u2 on u2.u = t.b and u2.w = u1.w
+  join und u3 on u3.u = t.c and u3.w = u1.w
+),
+k2m as (
+  select count(*) as n from e
+  where not exists (
+    select 1 from und x join und y on x.w = y.w
+    where x.u = e.a and y.u = e.b
+  )
+),
+k3m as (
+  select count(*) as n from tri t
+  where not exists (
+    select 1 from und x join und y on x.w = y.w join und z on z.w = y.w
+    where x.u = t.a and y.u = t.b and z.u = t.c
+  )
+),
+k4m as (
+  select count(*) as n from quad q
+  where not exists (
+    select 1 from und x join und y on x.w = y.w
+                join und z on z.w = y.w join und v on v.w = z.w
+    where x.u = q.a and y.u = q.b and z.u = q.c and v.u = q.d
+  )
+)
+select * from (
+  select cast(2 as int) as clique_size, n as n_cliques from k2m where n > 0
+  union all select cast(3 as int), n from k3m where n > 0
+  union all select cast(4 as int), n from k4m where n > 0
+)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_stats": _DOC_STATS_SQL,
+        "doc_fingerprint": _FINGERPRINT_SQL,
+        "maximal_cliques": _maximal_cliques_oracle_sql(),
         "quality_score": _QUALITY_SQL,
         "lang_id": _lang_id_oracle_sql(),
         "exact_dedup": _EXACT_DEDUP_SQL,
         "ngram_jaccard": _ngram_jaccard_oracle_sql(),
         "ann_cosine_topk": _ann_oracle_sql(),
         "event_sessionize": _SESSIONIZE_SQL,
-        # doc_fingerprint / minhash_lsh_dedup / simhash_dedup / ann_lsh_topk:
-        # rows-only (hash-scheme/approximate ops; verified by pytest oracles)
+        # minhash_lsh_dedup / simhash_dedup / ann_lsh_topk: rows-only
+        # (hash-scheme-dependent ops; verified by pytest recall oracles)
         "lgraph_edges": f"with edges as ({_LGRAPH_EDGES}) select src, dst from edges",
         "degree_table": f"""
 with edges as ({_LGRAPH_EDGES}),

@@ -9,18 +9,21 @@ inner loop built on the set kernels.
 Spark decomposition (the reference's outer degeneracy loop is
 embarrassingly parallel, which is exactly what we exploit):
 
-1. an ordering rank r(v) — degeneracy order when the vertex count permits
-   computing it (driver-side bucket peeling over collected degrees, the
-   same bucket-queue algorithm as src/org_maximal_clique.cpp:316-370),
-   else degree order (same family, scalable);
-2. per-vertex subproblems: for each v, ship the adjacency lists of all
-   u ∈ N(v) into v's group (one join, one shuffle — the same data motion
-   as the triangle join);
-3. ``applyInPandas`` kernel: restrict each neighbor list to N(v)
-   (np.intersect1d — the engine's core kernel), split into
-   P = {u : r(u) > r(v)} and X = {u : r(u) < r(v)}, run BK+pivot in numpy.
-   Every maximal clique is emitted exactly once — by its minimum-rank
-   member (the BK-degeneracy guarantee).
+1. an ordering rank r(v) — distributed degeneracy order
+   (``degeneracy_order_distributed``: simultaneous min-degree-stratum
+   peeling, the DataFrame re-expression of the reference's bucket queue
+   src/org_maximal_clique.cpp:316-370) or degree order (cheaper, same
+   family); a driver-side exact peel is kept for small-graph parity.
+2. per-vertex subproblems shipped as INDUCED NEIGHBORHOOD EDGES: for
+   each v, rows (v, u, w) where u,w ∈ N(v) and (u,w) ∈ E — the
+   triangle-join dataflow. This ships Θ(Σ_v tri(v)) rows instead of the
+   naive Σ_u deg(u)² full-adjacency copies (which explodes on Zipf
+   hubs — one hub's group would otherwise hold the whole graph's
+   neighborhoods).
+3. ``applyInPandas`` kernel: rebuild the induced adjacency per group,
+   split members into P = {u : r(u) > r(v)} and X = {u : r(u) < r(v)},
+   run BK+Tomita-pivot. Every maximal clique is emitted exactly once —
+   by its minimum-rank member (the BK-degeneracy guarantee).
 
 Output: DataFrame[clique: array<long>] (sorted members), matching the
 reference's answer dump (src/org_maximal_clique.cpp:372-385).
@@ -89,6 +92,68 @@ def degeneracy_order(edges: DataFrame, max_driver_vertices: int = 2_000_000):
     )
 
 
+def degeneracy_order_distributed(
+    edges: DataFrame, max_rounds: int = 10_000
+) -> tuple[DataFrame, int]:
+    """(order DataFrame[v, rank], degeneracy) with NO driver-side graph.
+
+    Simultaneous min-degree-stratum peeling: each round removes every
+    vertex whose current degree equals the graph's minimum — equivalent to
+    some sequential min-degree peel, so max(min-degree over rounds) is the
+    degeneracy and every vertex's later-ordered neighbors number ≤
+    degeneracy (the bound BK-degeneracy relies on). Reference semantics:
+    the bucket-queue peel of src/org_maximal_clique.cpp:316-370, re-run as
+    an iterative DataFrame job (per round: one degree aggregate + two
+    anti-joins, lineage truncated). Round count = number of distinct peel
+    waves (tens on web-shaped graphs; worst case O(V) on paths — cap with
+    ``max_rounds``, leftovers are appended in degree order).
+
+    Final dense ranks come from the two-phase distributed assign over
+    (wave, v)."""
+    from graphsetintersection_spark.operators.edges import vertices
+    from graphsetintersection_spark.plans.assign import global_order_stats
+
+    und = symmetrize(canonicalize(edges))
+    remaining = vertices(und).localCheckpoint(eager=True)
+    cur = und.localCheckpoint(eager=True)
+    waves: DataFrame | None = None
+    degeneracy = 0
+    wave = 0
+    while wave < max_rounds:
+        deg = (
+            remaining.join(
+                cur.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("d")),
+                "v",
+                "left",
+            ).select("v", F.coalesce("d", F.lit(0)).alias("d"))
+        ).persist()
+        row = deg.agg(F.min("d").alias("m"), F.count(F.lit(1)).alias("n")).collect()[0]
+        if not row["n"]:
+            deg.unpersist()
+            break
+        dmin = int(row["m"])
+        degeneracy = max(degeneracy, dmin)
+        peel = deg.where(F.col("d") == dmin).select("v").localCheckpoint(eager=True)
+        w_df = peel.withColumn("wave", F.lit(wave))
+        waves = w_df if waves is None else waves.unionByName(w_df)
+        remaining = remaining.join(peel, "v", "left_anti").localCheckpoint(eager=True)
+        cur = (
+            cur.join(peel.withColumnRenamed("v", "src"), "src", "left_anti")
+            .join(peel.withColumnRenamed("v", "dst"), "dst", "left_anti")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        deg.unpersist()
+        wave += 1
+    # cap hit: leftovers appended as one final wave (degree-order family)
+    leftover = remaining.withColumn("wave", F.lit(wave))
+    waves = leftover if waves is None else waves.unionByName(leftover)
+    order = global_order_stats(
+        waves, [F.col("wave").asc(), F.col("v").asc()], rank_col="rank"
+    ).select("v", "rank")
+    return order, degeneracy
+
+
 def _bk_pivot(cand: set, excl: set, clique: list, adj: dict, out: list) -> None:
     """Bron–Kerbosch with Tomita pivot (reference
     src/org_maximal_clique.cpp:169-314): recurse only over P \\ N(pivot)."""
@@ -112,8 +177,7 @@ def maximal_cliques(
 ) -> DataFrame:
     """All maximal cliques (size ≥ min_size) as DataFrame[clique:
     array<long>]. ``order`` is (v, rank); defaults to degree order."""
-    und = symmetrize(canonicalize(edges))
-    adj = adjacency(und)  # (v, nbrs) full undirected adjacency
+    und = symmetrize(canonicalize(edges)).persist()
 
     if order is None:
         from graphsetintersection_spark.operators.relabel import degree_order
@@ -122,30 +186,46 @@ def maximal_cliques(
             F.col("org_id").alias("v"), F.col("new_id").alias("rank")
         )
 
-    adj_r = adj.join(order, "v")
-    # group for vertex v: one row per neighbor u carrying u's adjacency+rank
-    grouped = (
-        und.select(F.col("src").alias("v"), F.col("dst").alias("u"))
-        .join(
-            adj_r.select(
-                F.col("v").alias("u"),
-                F.col("nbrs").alias("u_nbrs"),
-                F.col("rank").alias("u_rank"),
-            ),
+    # member rows (v, u, null, u_rank, v_rank): N(v) with ranks
+    vu = und.select(F.col("src").alias("v"), F.col("dst").alias("u"))
+    members = (
+        vu.join(
+            order.select(F.col("v").alias("u"), F.col("rank").alias("u_rank")),
             "u",
         )
-        .join(order.select(F.col("v"), F.col("rank").alias("v_rank")), "v")
+        .join(order.select("v", F.col("rank").alias("v_rank")), "v")
+        .select(
+            "v", "u", F.lit(None).cast("long").alias("w"), "u_rank", "v_rank"
+        )
     )
+    # induced-neighborhood edge rows (v, u, w): u,w ∈ N(v), (u,w) ∈ E —
+    # the triangle join (operators.triangle), so each group receives the
+    # subproblem GRAPH, not a full adjacency copy per neighbor
+    induced = (
+        vu.join(und.select(F.col("src").alias("u"), F.col("dst").alias("w")), "u")
+        .join(
+            und.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+            ["v", "w"],
+            "left_semi",
+        )
+        .select(
+            "v", "u", "w",
+            F.lit(None).cast("long").alias("u_rank"),
+            F.lit(None).cast("long").alias("v_rank"),
+        )
+    )
+    grouped = members.unionByName(induced)
 
     def bk_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        v = int(pdf["v"].iloc[0])
-        v_rank = int(pdf["v_rank"].iloc[0])
-        ranks = dict(zip(pdf["u"].astype(int), pdf["u_rank"].astype(int)))
-        nbr_set = set(ranks)
-        adj_local = {
-            int(u): (set(np.asarray(nb, dtype=np.int64).tolist()) & nbr_set)
-            for u, nb in zip(pdf["u"], pdf["u_nbrs"])
-        }
+        is_member = pdf["w"].isna()
+        mem = pdf[is_member]
+        v = int(mem["v"].iloc[0])
+        v_rank = int(mem["v_rank"].iloc[0])
+        ranks = dict(zip(mem["u"].astype(int), mem["u_rank"].astype(int)))
+        adj_local: dict[int, set] = {u: set() for u in ranks}
+        ev = pdf[~is_member]
+        for u, w in zip(ev["u"].astype(int), ev["w"].astype(int)):
+            adj_local[u].add(w)
         cand = {u for u, r in ranks.items() if r > v_rank}
         excl = {u for u, r in ranks.items() if r < v_rank}
         out: list[list[int]] = []

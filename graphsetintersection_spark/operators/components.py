@@ -150,26 +150,39 @@ def connected_components_starcontraction(
 
     converged = False
     rounds = start
-    n_old = pairs.count()
+    # convergence signature: (row count, order-insensitive XOR checksum) of
+    # the distinct parent set — ONE aggregate on the frame being
+    # materialized anyway, replacing the exceptAll set-difference (a full
+    # extra shuffle per round). bit_xor of 64-bit hashes over a distinct
+    # set changing without the signature changing is vanishingly unlikely.
+    def _signature(df: DataFrame) -> tuple[int, int]:
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, w))"), F.lit(0)).alias("chk"),
+        ).collect()[0]
+        return int(r["n"]), int(r["chk"])
+
+    sig_old = _signature(pairs)
     for rounds in range(start, max_rounds):
         # large-star operates on symmetric neighborhoods (Kiveris alg. 2);
         # its output edges always point larger→smaller, which is exactly
-        # the orientation small-star consumes (alg. 3).
-        sym = pairs.union(
-            pairs.select(F.col("w").alias("u"), F.col("u").alias("w"))
-        ).distinct()
+        # the orientation small-star consumes (alg. 3). The initial pairs
+        # frame is already symmetric; later rounds hold strictly
+        # larger→smaller rows, so the union with the swap is disjoint and
+        # needs no distinct. (A checkpoint restore resumes with the
+        # larger→smaller orientation, so only literal round 0 skips it.)
+        if rounds == 0:
+            sym = pairs
+        else:
+            sym = pairs.union(
+                pairs.select(F.col("w").alias("u"), F.col("u").alias("w"))
+            )
         ls = _large_star(sym)
         ss = _small_star(ls)
         new_pairs = ss.persist()
-        # converged when the (u,w) parent set is unchanged; both sides are
-        # distinct sets, so equal counts + empty one-sided difference ⇒ equal
-        n_new = new_pairs.count()
-        delta = (
-            abs(n_new - n_old)
-            if n_old != n_new
-            else new_pairs.exceptAll(pairs).count()
-        )
-        n_old = n_new
+        sig_new = _signature(new_pairs)
+        delta = 0 if sig_new == sig_old else max(abs(sig_new[0] - sig_old[0]), 1)
+        sig_old = sig_new
         if checkpointer is not None:
             new_pairs = checkpointer.commit(
                 new_pairs, rounds, metrics={"delta_edges": int(delta)}

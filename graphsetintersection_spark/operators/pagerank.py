@@ -54,10 +54,18 @@ def pagerank(
     checkpoint_every: int = 1,
     dedup: bool = True,
     broadcast_ranks: bool | None = None,
+    salt_hubs: int | str | None = "auto",
 ) -> PageRankResult:
     """Run PageRank to convergence (or ``max_iter``). ``tol=None`` runs a
     fixed iteration count (used for oracle parity). Resumes automatically
-    from ``checkpointer``'s last committed iteration if present."""
+    from ``checkpointer``'s last committed iteration if present.
+
+    ``salt_hubs``: explicit two-stage salted aggregation of contributions
+    for high-in-degree dst keys (the north rule's "salted hubs"). Only
+    active on the SHUFFLE path — in broadcast mode the contribution
+    aggregation is already exchange-free (edges stationary by dst), so
+    salting would add cost for nothing. "auto" enables S=16 salts when the
+    in-degree distribution is skewed; an int forces that salt count."""
     spark = edges.sparkSession
     e = canonicalize(edges) if dedup else edges.select("src", "dst")
 
@@ -70,19 +78,51 @@ def pagerank(
     out_deg = e.groupBy(F.col("src").alias("v")).agg(
         F.count("*").alias("out_deg")
     )
-    # ranks-side join strategy: while the rank vector fits in executor
-    # memory (~16B/vertex) it is BROADCAST each iteration and the edge
-    # table is hash-partitioned by dst — then the contribution aggregation
-    # needs NO exchange at all (already co-located on its grouping key):
-    # zero per-iteration shuffle, the edges stay stationary. Beyond that,
-    # edges partition by src (Catalyst-visible), only ranks shuffles for
-    # the join, and the dst aggregation is the one remaining exchange —
-    # the standard ship-vertex-state iterative-graph strategy either way.
+    # ranks-side join strategy: while the rank vector fits comfortably in
+    # executor memory it is BROADCAST each iteration and the edge table is
+    # hash-partitioned by dst — then the contribution aggregation needs NO
+    # exchange at all (already co-located on its grouping key): zero
+    # per-iteration shuffle, the edges stay stationary. The cutover is
+    # ~10M vertices (a rank row is ~16B + row overhead → a few hundred MB
+    # broadcast, the practical executor-memory ceiling); beyond it, edges
+    # partition by src (Catalyst-visible), only ranks shuffles for the
+    # join, and the dst aggregation is the one remaining exchange — the
+    # standard ship-vertex-state iterative-graph strategy either way.
     if broadcast_ranks is None:
-        broadcast_ranks = n <= 50_000_000
+        broadcast_ranks = n <= 10_000_000
+
+    # salted-hub decision (shuffle path only): mark dst vertices whose
+    # in-degree dominates; their contribution rows are pre-aggregated
+    # under S salts so no single reducer sums a whole hub alone.
+    salt_s: int | None = None
+    hub_dsts = None
+    if not broadcast_ranks and salt_hubs:
+        from graphsetintersection_spark.operators.relabel import (
+            hub_degree_threshold,
+        )
+
+        in_deg = e.groupBy("dst").agg(F.count("*").alias("deg"))
+        if salt_hubs == "auto":
+            r = in_deg.agg(
+                F.max("deg").alias("mx"), F.avg("deg").alias("av")
+            ).collect()[0]
+            if r["mx"] and r["mx"] >= 1024 and r["mx"] >= 16 * (r["av"] or 1.0):
+                salt_s = 16
+        else:
+            salt_s = int(salt_hubs)
+        if salt_s:
+            t = hub_degree_threshold(in_deg, 0.25)
+            hub_dsts = in_deg.where(F.col("deg") >= t).select(
+                "dst", F.lit(True).alias("_hub")
+            )
+
+    e_deg = e.join(out_deg.withColumnRenamed("v", "src"), "src")
+    if hub_dsts is not None:
+        e_deg = e_deg.join(F.broadcast(hub_dsts), "dst", "left").withColumn(
+            "_hub", F.coalesce(F.col("_hub"), F.lit(False))
+        )
     e_deg = (
-        e.join(out_deg.withColumnRenamed("v", "src"), "src")
-        .repartition("dst" if broadcast_ranks else "src")
+        e_deg.repartition("dst" if broadcast_ranks else "src")
         .persist()
     )
     e_deg.count()  # materialize once
@@ -109,12 +149,30 @@ def pagerank(
         ranks_src = ranks.withColumnRenamed("v", "src")
         if broadcast_ranks:
             ranks_src = F.broadcast(ranks_src)
-        contribs = (
-            e_deg.join(ranks_src, "src")
-            .groupBy(F.col("dst").alias("v"))
-            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("contrib"))
-            .persist()
-        )
+        joined = e_deg.join(ranks_src, "src")
+        term = F.col("rank") / F.col("out_deg")
+        if salt_s:
+            # two-stage salted aggregation: hub dst rows split across
+            # salt_s sub-keys (deterministic salt from src) so the first
+            # shuffle spreads each hub over S reducers; the second stage
+            # sums at most S rows per hub.
+            stage1 = joined.groupBy(
+                "dst",
+                F.when(
+                    F.col("_hub"), F.pmod(F.xxhash64("src"), F.lit(salt_s))
+                ).otherwise(F.lit(0)).alias("_salt"),
+            ).agg(F.sum(term).alias("_c"))
+            contribs = (
+                stage1.groupBy(F.col("dst").alias("v"))
+                .agg(F.sum("_c").alias("contrib"))
+                .persist()
+            )
+        else:
+            contribs = (
+                joined.groupBy(F.col("dst").alias("v"))
+                .agg(F.sum(term).alias("contrib"))
+                .persist()
+            )
         # dangling mass D = 1 − Σcontribs folded into the plan as a 1-row
         # broadcast over the SAME transient cache — no extra driver action;
         # the single materialization below executes contribs exactly once

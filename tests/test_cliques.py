@@ -7,6 +7,7 @@ from tests.conftest import random_graph, undirected_simple
 
 from graphsetintersection_spark.operators.cliques import (
     degeneracy_order,
+    degeneracy_order_distributed,
     maximal_clique_count,
     maximal_cliques,
 )
@@ -74,3 +75,30 @@ def test_degeneracy_value(spark):
     df = spark.createDataFrame(k5 + path, "src long, dst long")
     _, degen = degeneracy_order(df)
     assert degen == 4
+
+
+def test_degeneracy_distributed_matches_driver(spark):
+    pairs = random_graph(40, 180, seed=11)
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    _, degen_driver = degeneracy_order(df)
+    order, degen_dist = degeneracy_order_distributed(df)
+    assert degen_dist == degen_driver
+    # the order is a valid permutation of the vertex set
+    rows = order.collect()
+    ranks = sorted(r["rank"] for r in rows)
+    assert ranks == list(range(len(rows)))
+    # and BK over it reproduces the exact clique set
+    got = _collect_cliques(maximal_cliques(df, order=order))
+    assert got == python_bk(pairs)
+
+
+def test_degeneracy_distributed_round_cap(spark):
+    # path graph peels 2 ends per wave — force the cap and check leftovers
+    path = [(i, i + 1) for i in range(10)]
+    df = spark.createDataFrame(path, "src long, dst long")
+    order, degen = degeneracy_order_distributed(df, max_rounds=2)
+    assert degen == 1
+    rows = order.collect()
+    assert sorted(r["rank"] for r in rows) == list(range(11))
+    got = _collect_cliques(maximal_cliques(df, order=order))
+    assert got == python_bk(path)
