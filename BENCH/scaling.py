@@ -18,9 +18,13 @@ Method (written up in BENCH/BASELINE.md):
   (src/tc.cpp:28-29 vs :41-46): INDEX BUILD (orient + adjacency + joins —
   shuffle-bound) and COUNT (the Arrow intersect kernel — compute-bound),
   plus end-to-end.
-- One warm-up per JVM, then best of REPEATS timed rounds (bursty hypervisor
-  CPU steal on this host makes min the honest statistic); identical shuffle
-  partitioning at both sizes so the plans are identical.
+- Statistic: MEDIAN over pooled measurements from PASSES interleaved
+  fresh-JVM runs per size (LO,HI,LO,HI …), one warm-up round per JVM.
+  Interleaving decorrelates slow host drift; median is robust to the
+  occasional noisy-neighbor burst (best-of-N is not evidence — it can
+  manufacture arbitrary ratios out of noise). Hypervisor steal time
+  (/proc/stat) is captured around every JVM run and reported.
+- Identical shuffle partitioning at both sizes so the plans are identical.
 
 Usage:  python BENCH/scaling.py [n_pages] [avg_links]  (default 400000 30)
 """
@@ -37,7 +41,8 @@ EDGES_PATH = "/tmp/gsi_scaling_edges_dense"
 LO, HI = 4, 16
 SHUFFLE_PARTITIONS = 64
 PR_ITERS = 3
-REPEATS = 5
+REPEATS = 3   # measured rounds per JVM
+PASSES = 2    # interleaved fresh JVMs per size: LO,HI,LO,HI
 
 GEN = r"""
 import sys, os
@@ -115,28 +120,46 @@ def run_py(code: str, *args: str, timeout: int = 3600) -> str:
     return out.stdout
 
 
+def read_steal() -> int:
+    with open("/proc/stat") as f:
+        return int(f.readline().split()[8])  # cpu ... steal jiffies
+
+
 def main():
+    from statistics import median
+
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
     avg_links = float(sys.argv[2]) if len(sys.argv) > 2 else 30.0
     subst = {"repo": REPO, "edges": EDGES_PATH, "sp": SHUFFLE_PARTITIONS,
              "repeats": REPEATS, "pr_iters": PR_ITERS}
     if not os.path.exists(os.path.join(EDGES_PATH, "_SUCCESS")):
         run_py(GEN % subst, str(n_pages), str(avg_links))
-    results = {}
-    for cores in (LO, HI):
-        line = [
-            l for l in run_py(WORKER % subst, str(cores)).splitlines()
-            if l.startswith("{")
-        ][-1]
-        results[cores] = json.loads(line)
 
-    r_lo, r_hi = results[LO], results[HI]
+    # interleaved passes: LO,HI,LO,HI — pooled per size
+    pooled: dict[int, dict] = {}
+    steal: dict[int, int] = {LO: 0, HI: 0}
+    for _ in range(PASSES):
+        for cores in (LO, HI):
+            s0 = read_steal()
+            line = [
+                l for l in run_py(WORKER % subst, str(cores)).splitlines()
+                if l.startswith("{")
+            ][-1]
+            steal[cores] += read_steal() - s0
+            r = json.loads(line)
+            if cores not in pooled:
+                pooled[cores] = r
+            else:
+                for k in ("build_secs", "count_secs", "pr_secs"):
+                    pooled[cores][k] += r[k]
+                assert pooled[cores]["triangles"] == r["triangles"]
+
+    r_lo, r_hi = pooled[LO], pooled[HI]
     n_edges = r_lo["n_edges"]
-    best = min
     scale = HI / LO
 
     def row(label, lo_secs, hi_secs, work):
-        lo_t, hi_t = best(lo_secs), best(hi_secs)
+        lo_t, hi_t = median(lo_secs), median(hi_secs)
         lo_eps, hi_eps = work / lo_t, work / hi_t
         eff = (hi_eps / lo_eps) / scale
         return (
@@ -156,12 +179,13 @@ def main():
             r_lo["pr_secs"], r_hi["pr_secs"], n_edges * PR_ITERS),
     ])
 
+    n_meas = PASSES * REPEATS
     md = f"""# BENCH/BASELINE — throughput + scaling evidence
 
 North-rule metric: triangle-count + PageRank-iteration throughput
 (edges/sec) over the Common-Crawl-style link corpus, with ≥0.8 throughput
 scaling efficiency from N to 4N executors. Sandbox proxy: the identical
-job in two fresh, CPU-PINNED Spark JVMs at local[{LO}] and local[{HI}].
+job in fresh, CPU-PINNED Spark JVMs at local[{LO}] and local[{HI}].
 
 **Why ({LO},{HI}) and not (8,32):** this host advertises 32 CPUs but pure
 cache-resident numpy scales linearly only to ~16 workers and is flat from
@@ -173,10 +197,11 @@ threads onto unused cores.
 Workload: {n_edges:,} relabeled edges from a {n_pages:,}-page synthetic
 corpus (avg {avg_links:.0f} links/page, Zipf-hub structure). Triangle
 count reported in the reference's own two phases (build vs count,
-src/tc.cpp:28-29 / :41-46). One warm-up round per JVM, best of
-{REPEATS} (this overcommitted host shows bursty hypervisor CPU steal —
-best-of-N measures the engine, not the noisy neighbors); identical {SHUFFLE_PARTITIONS}-partition shuffles at both
-sizes.
+src/tc.cpp:28-29 / :41-46). Statistic: MEDIAN of {n_meas} measured rounds
+pooled from {PASSES} interleaved fresh JVMs per size (one warm-up round
+each); identical {SHUFFLE_PARTITIONS}-partition shuffles at both sizes.
+Hypervisor steal during the runs: {steal[LO]} jiffies (local[{LO}] window),
+{steal[HI]} jiffies (local[{HI}] window).
 
 | metric | local[{LO}] | local[{HI}] | speedup | scaling efficiency |
 |---|---|---|---|---|
@@ -189,16 +214,16 @@ repartitioning).
 Efficiency = (throughput_hi / throughput_lo) / ({HI}/{LO}).
 
 Reading: the compute phase (the engine's vectorized intersect kernel — the
-reference's SIMD analog) scales at ≈0.8+; the shuffle-bound phases (index
-build, PageRank's per-iteration contribution aggregation) are capped lower
-ON THIS HOST because both pinned JVMs share ONE memory subsystem — shuffle
-bytes/sec is a host-wide resource here, whereas on a real multi-executor
-cluster every executor adds its own memory channels, shuffle disks and
-NICs. The single-host numbers are therefore a conservative lower bound for
-the shuffle-bound phases and a faithful measurement for the compute phase.
+reference's SIMD analog) is the faithful scaling measurement; the
+shuffle-bound phases (index build, PageRank's per-iteration contribution
+aggregation) are capped ON THIS HOST because both pinned JVMs share ONE
+memory subsystem — shuffle bytes/sec is a host-wide resource here, whereas
+on a real multi-executor cluster every executor adds its own memory
+channels, shuffle disks and NICs. The single-host numbers are therefore a
+conservative lower bound for the shuffle-bound phases.
 
-Raw: {json.dumps(r_lo)}
-     {json.dumps(r_hi)}
+Raw (pooled): {json.dumps(r_lo)}
+              {json.dumps(r_hi)}
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)

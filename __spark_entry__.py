@@ -651,11 +651,17 @@ select v as org_id,
        cast(row_number() over (order by deg desc, v asc) - 1 as bigint) as new_id
 from deg
 """,
+        # reference comp_ratio (src/porder.cpp:332-341): mean of out- and
+        # in-edge packing ratios = (packed_out + packed_in) / (2 e_num)
         "comp_ratio": f"""
-with edges as ({_LGRAPH_EDGES}),
+with edges as materialized ({_LGRAPH_EDGES}),
 blk as (
-  select src, count(distinct dst // 64) as n_blocks, count(*) as n_edges
+  select src as v, count(distinct dst // 64) as n_blocks,
+         count(*) as n_edges
   from edges group by src
+  union all
+  select dst, count(distinct src // 64), count(*)
+  from edges group by dst
 )
 select round(cast(sum(n_blocks) as double) / sum(n_edges), 9) as comp_ratio
 from blk

@@ -36,6 +36,7 @@ def main() -> None:
 
     import __spark_entry__ as entry_mod
     from graphsetintersection_spark.operators.components import (
+        connected_components_minlabel,
         connected_components_starcontraction,
     )
     from graphsetintersection_spark.operators.labelprop import label_propagation
@@ -74,12 +75,28 @@ def main() -> None:
 
     relabeled, n_edges = timed("pages_to_edges_relabel", build_graph)
 
+    # ---- comp_ratio densification evidence (the reorder story):
+    # original ids vs degree relabel — lower is denser BSR packing
+    from graphsetintersection_spark.operators.relabel import comp_ratio
+
+    comp = {}
+    t0 = time.perf_counter()
+    comp["degree_relabeled"] = round(comp_ratio(relabeled), 4)
+    timings["comp_ratio_relabeled"] = round(time.perf_counter() - t0, 3)
+
     # ---- triangle count (Arrow kernel) — north-rule throughput metric
     tri = timed("triangle_count_kernel", lambda: triangle_count_kernel(relabeled))
     throughput["triangle_edges_per_sec"] = round(
         n_edges / timings["triangle_count_kernel"], 1
     )
     timed("triangle_count_arrays", lambda: triangle_count_arrays(relabeled))
+    # BSR bit-packed kernel (the reference's BP path) on the SAME relabeled
+    # graph — parity asserted, wall time reported next to the uint kernel
+    tri_bsr = timed(
+        "triangle_count_kernel_bsr",
+        lambda: triangle_count_kernel(relabeled, kernel="bsr"),
+    )
+    assert tri_bsr == tri, "BSR kernel diverged from uint kernel"
 
     # ---- PageRank iterations — north-rule throughput metric
     timed(
@@ -90,10 +107,17 @@ def main() -> None:
         n_edges * PR_BENCH_ITERS / timings["pagerank_iters"], 1
     )
 
-    # ---- connected components + LPA on the corpus graph
+    # ---- connected components + LPA on the corpus graph. Both CC
+    # implementations timed: min-label wins on low-diameter web graphs,
+    # star contraction (O(log^2 n) rounds) is the high-diameter scale path.
     timed(
         "connected_components",
         lambda: connected_components_starcontraction(relabeled, max_rounds=30)
+        .components.count(),
+    )
+    timed(
+        "connected_components_minlabel",
+        lambda: connected_components_minlabel(relabeled, max_rounds=50)
         .components.count(),
     )
     timed(
@@ -127,6 +151,7 @@ def main() -> None:
                 "n_pages": n_pages,
                 "n_edges": n_edges,
                 "triangles": tri,
+                "comp_ratio": comp,
                 "cpus": CPUS,
                 "throughput": throughput,
             }

@@ -143,13 +143,16 @@ def hyperplane_buckets(
     seed: int = 9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Random-hyperplane LSH: per vector, one bucket per hash table
     (bit i of a table's bucket = sign(v · h_i)). Returns one row per
-    (vector, table): (id, vec, table, bucket). Hyperplanes drawn from a
-    seeded numpy RNG, embedded as literal arrays (JVM-side dot products —
-    no Python). Multi-table (n_tables > 1) is the standard recall lever:
-    candidates = union of same-bucket sets across tables."""
+    (vector, table): (id, table, bucket) — IDS ONLY by default, so the
+    n_tables-way explode never duplicates the float vectors through the
+    shuffle (vectors are re-joined once after candidate dedup). Hyperplanes
+    drawn from a seeded numpy RNG, embedded as literal arrays (JVM-side dot
+    products — no Python). Multi-table (n_tables > 1) is the standard
+    recall lever: candidates = union of same-bucket sets across tables."""
     if dim is None:
         first = vecs.select(F.size(vec_col)).first()
         dim = int(first[0])
@@ -167,9 +170,11 @@ def hyperplane_buckets(
         tables.append(
             F.struct(F.lit(t).alias("table"), bucket.cast("long").alias("bucket"))
         )
+    cols = [F.col(id_col)] + ([F.col(vec_col)] if keep_vec else [])
+    out_cols = [id_col] + ([vec_col] if keep_vec else [])
     return vecs.select(
-        F.col(id_col), F.col(vec_col), F.explode(F.array(*tables)).alias("tb")
-    ).select(id_col, vec_col, "tb.table", "tb.bucket")
+        *cols, F.explode(F.array(*tables)).alias("tb")
+    ).select(*out_cols, "tb.table", "tb.bucket")
 
 
 def lsh_ann_topk(
@@ -185,24 +190,30 @@ def lsh_ann_topk(
     """Approximate top-k: score only candidates sharing an LSH bucket with
     the query in ANY of ``n_tables`` hash tables. One equi-join on
     (table, bucket) instead of a cross join — the scale path; recall is
-    tuned by (n_planes ↓, n_tables ↑)."""
+    tuned by (n_planes ↓, n_tables ↑). Buckets carry ids only; the float
+    vectors are joined back exactly once per side AFTER the candidate-pair
+    dedup, so a 16-table setup shuffles 1× the vector bytes, not 16×."""
     qb = hyperplane_buckets(queries, n_planes, n_tables, seed=seed,
-                            id_col=id_col, vec_col=vec_col)
-    cb = hyperplane_buckets(candidates, n_planes, n_tables, seed=seed,
-                            id_col=id_col, vec_col=vec_col)
-    q = qb.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-        "table", "bucket",
+                            id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("query_id"), "table", "bucket"
     )
-    c = cb.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-        "table", "bucket",
+    cb = hyperplane_buckets(candidates, n_planes, n_tables, seed=seed,
+                            id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "table", "bucket"
+    )
+    cand = (
+        cb.join(F.broadcast(qb), ["table", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()  # a pair may collide in several tables — score once
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cv = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
     scored = (
-        c.join(F.broadcast(q), ["table", "bucket"])
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "qv", "cv")
-        .distinct()  # a pair may collide in several tables — score once
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
@@ -232,16 +243,24 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold, LSH-bucketed (near-dups collide
-    with high probability at high thresholds): (id_a, id_b, score)."""
+    with high probability at high thresholds): (id_a, id_b, score).
+    Buckets on ids only; pair dedup happens BEFORE the vectors are joined
+    back, so the distinct never shuffles float arrays."""
     b = hyperplane_buckets(vecs, n_planes, n_tables, seed=seed,
                            id_col=id_col, vec_col=vec_col)
-    a = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-                 "table", "bucket")
-    c = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-                 "table", "bucket")
-    return (
+    a = b.select(F.col(id_col).alias("id_a"), "table", "bucket")
+    c = b.select(F.col(id_col).alias("id_b"), "table", "bucket")
+    pairs = (
         a.join(c, ["table", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
@@ -251,5 +270,4 @@ def embedding_neardup_pairs(
             ).alias("score"),
         )
         .where(F.col("score") >= threshold)
-        .distinct()
     )

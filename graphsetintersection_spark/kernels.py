@@ -214,6 +214,54 @@ def batch_intersect_count(
     return np.bincount(row_a[hit], minlength=n).astype(np.int64)
 
 
+def batch_bsr_intersect_count(
+    vals_a: np.ndarray, lens_a: np.ndarray,
+    vals_b: np.ndarray, lens_b: np.ndarray,
+) -> np.ndarray:
+    """Per-row |A_i ∩ B_i| via BSR (Base & State Representation) — the
+    batch form of the reference's bit-packed intersection
+    (bp_intersect_count, set_operation.cpp:554-591; encode
+    intersection_algos.cpp:1328-1343).
+
+    Each row's sorted values are packed into (base, state) words with
+    base = v >> PACK_SHIFT lifted by the row offset, so one global
+    ``np.unique`` + ``bitwise_or.reduceat`` encodes the whole batch and one
+    ``np.intersect1d`` aligns every row's common bases at once; AND +
+    popcount counts members. After degree relabel densifies ids, each base
+    word covers up to 64 neighbors — the fewer words per list, the bigger
+    the win over the element-wise kernel (exactly the reference's
+    reorder→densify→bit-pack design)."""
+    n = len(lens_a)
+    assert len(lens_b) == n
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    _check_row_shift(vals_a, vals_b)
+    base_shift = ROW_SHIFT - PACK_SHIFT
+
+    def encode(vals, lens):
+        rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+        keys = (rows << base_shift) | (vals >> PACK_SHIFT)
+        bits = np.int64(1) << (vals & np.int64(PACK_WIDTH - 1))
+        if len(keys) == 0:
+            z = np.empty(0, dtype=np.int64)
+            return z, z.copy()
+        ukeys, start = np.unique(keys, return_index=True)
+        states = np.bitwise_or.reduceat(bits, start)
+        return ukeys, states
+
+    keys_a, st_a = encode(vals_a, lens_a)
+    keys_b, st_b = encode(vals_b, lens_b)
+    common, ia, ib = np.intersect1d(
+        keys_a, keys_b, assume_unique=True, return_indices=True
+    )
+    if not len(common):
+        return np.zeros(n, dtype=np.int64)
+    cnt = _popcount(st_a[ia] & st_b[ib])
+    return np.bincount(
+        common >> base_shift, weights=cnt, minlength=n
+    ).astype(np.int64)
+
+
 def batch_intersect_count_lists(lists_a, lists_b) -> np.ndarray:
     """Convenience wrapper over python/pandas lists of arrays."""
     va, la = _flatten(lists_a)

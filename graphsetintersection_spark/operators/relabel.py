@@ -91,20 +91,34 @@ def apply_order(edges: DataFrame, order: DataFrame) -> DataFrame:
 
 
 def comp_ratio(edges: DataFrame, pack_shift: int = PACK_SHIFT) -> float:
-    """BSR densification metric: (number of packed base-words across all
-    adjacency lists) / (number of edges). Lower is better; 1.0 means every
-    neighbor needs its own word, 1/64 is perfect packing.
-    Reference: POrder::comp_ratio (src/porder.cpp:295-351)."""
-    blocks = (
+    """BSR densification metric, the reference's exact form
+    (src/porder.cpp:295-341): the AVERAGE of the out-edge and in-edge
+    packing ratios, each = (packed base-words across adjacency lists) /
+    e_num. Lower is better; 1.0 means every neighbor needs its own word,
+    1/64 is perfect packing. Since (out/e + in/e)/2 =
+    (packed_out + packed_in) / (2·e_num), both directions are computed in
+    ONE union + aggregate job."""
+    both = edges.select(
+        F.col("src").alias("v"),
+        F.shiftright(F.col("dst"), pack_shift).alias("blk"),
+        F.lit(0).alias("dir"),
+    ).union(
         edges.select(
-            "src", F.shiftright(F.col("dst"), pack_shift).alias("blk")
+            F.col("dst"),
+            F.shiftright(F.col("src"), pack_shift),
+            F.lit(1),
         )
-        .groupBy("src")
-        .agg(F.countDistinct("blk").alias("n_blocks"), F.count("*").alias("n_edges"))
+    )
+    row = (
+        both.groupBy("v", "dir")
+        .agg(
+            F.countDistinct("blk").alias("n_blocks"),
+            F.count("*").alias("n_edges"),
+        )
         .agg(F.sum("n_blocks").alias("b"), F.sum("n_edges").alias("e"))
         .collect()[0]
     )
-    return float(blocks["b"]) / float(blocks["e"]) if blocks["e"] else 0.0
+    return float(row["b"]) / float(row["e"]) if row["e"] else 0.0
 
 
 def select_bignode(edges: DataFrame, deg_ratio: float = 0.3) -> DataFrame:
@@ -152,6 +166,56 @@ def hub_degree_threshold(deg: DataFrame, deg_ratio: float) -> int | None:
         if acc >= want:
             return int(r["deg"])
     return int(min(r["deg"] for r in hist))
+
+
+def bfs_order(edges: DataFrame, max_levels: int = 64) -> DataFrame:
+    """BFS ordering (org_id, new_id) — the reference's second locality
+    criterion (src/porder.cpp:545-584): ids in BFS order from the
+    highest-out-degree root, so neighborhoods become contiguous id runs.
+
+    Distributed re-expression: level-synchronous frontier expansion over
+    out-edges assigns each reached vertex its BFS LEVEL (one join +
+    anti-join per level, lineage truncated); the final permutation is the
+    two-phase rank over (level asc, deg desc, v asc). Within a level the
+    reference's order is its sequential queue order — here the
+    deterministic (deg desc, v) tie-break, same locality class. Vertices
+    unreachable from the root (the reference restarts BFS per component,
+    :548-563) are appended after all reached levels in degree order."""
+    spark = edges.sparkSession
+    deg = degrees(edges).persist()
+    root_row = deg.orderBy(F.col("deg").desc(), F.col("v").asc()).first()
+    if root_row is None:
+        return spark.createDataFrame([], "org_id long, new_id long")
+    root = int(root_row["v"])
+
+    levels = spark.createDataFrame([(root, 0)], "v long, level int")
+    frontier = levels
+    for lvl in range(1, max_levels + 1):
+        nxt = (
+            frontier.join(edges.withColumnRenamed("src", "v"), "v")
+            .select(F.col("dst").alias("v"))
+            .distinct()
+            .join(levels, "v", "left_anti")
+            .withColumn("level", F.lit(lvl))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        levels = levels.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+
+    ranked = deg.join(levels, "v", "left").select(
+        "v",
+        F.coalesce("level", F.lit(max_levels + 1)).alias("level"),
+        "deg",
+    )
+    out = global_order_stats(
+        ranked,
+        [F.col("level").asc(), F.col("deg").desc(), F.col("v").asc()],
+        rank_col="new_id",
+    )
+    deg.unpersist()
+    return out.select(F.col("v").alias("org_id"), "new_id")
 
 
 def leaf_node_count(edges: DataFrame) -> int:

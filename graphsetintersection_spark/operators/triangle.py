@@ -33,7 +33,10 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graphsetintersection_spark.kernels import batch_intersect_count
+from graphsetintersection_spark.kernels import (
+    batch_bsr_intersect_count,
+    batch_intersect_count,
+)
 from graphsetintersection_spark.operators.adjacency import lower_adjacency
 from graphsetintersection_spark.operators.edges import orient
 
@@ -124,34 +127,46 @@ def triangle_count_arrays(edges: DataFrame) -> int:
     return int(row["tri"] or 0)
 
 
-def _count_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    """mapInArrow kernel: per batch, one vectorized intersect-count over the
-    CSR-shaped Arrow list columns (flat values + offsets — zero copy)."""
-    import numpy as np
+def _make_count_batches(kernel_fn):
+    """mapInArrow kernel factory: per batch, one vectorized intersect-count
+    over the CSR-shaped Arrow list columns (flat values + offsets — zero
+    copy). ``kernel_fn`` is any batch kernel with the
+    (vals_a, lens_a, vals_b, lens_b) contract."""
 
-    for batch in it:
-        a = batch.column(batch.schema.get_field_index("nbrs_a"))
-        b = batch.column(batch.schema.get_field_index("nbrs_b"))
-        if isinstance(a, pa.ChunkedArray):  # pragma: no cover
-            a = a.combine_chunks()
-            b = b.combine_chunks()
-        off_a = a.offsets.to_numpy()
-        off_b = b.offsets.to_numpy()
-        vals_a = a.values.to_numpy().astype(np.int64, copy=False)
-        vals_b = b.values.to_numpy().astype(np.int64, copy=False)
-        counts = batch_intersect_count(
-            vals_a[off_a[0]:off_a[-1]] if len(off_a) else vals_a,
-            np.diff(off_a),
-            vals_b[off_b[0]:off_b[-1]] if len(off_b) else vals_b,
-            np.diff(off_b),
-        )
-        yield pa.RecordBatch.from_arrays(
-            [pa.array(counts.sum(keepdims=True), type=pa.int64())], ["tri"]
-        )
+    def count_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+
+        for batch in it:
+            a = batch.column(batch.schema.get_field_index("nbrs_a"))
+            b = batch.column(batch.schema.get_field_index("nbrs_b"))
+            if isinstance(a, pa.ChunkedArray):  # pragma: no cover
+                a = a.combine_chunks()
+                b = b.combine_chunks()
+            off_a = a.offsets.to_numpy()
+            off_b = b.offsets.to_numpy()
+            vals_a = a.values.to_numpy().astype(np.int64, copy=False)
+            vals_b = b.values.to_numpy().astype(np.int64, copy=False)
+            counts = kernel_fn(
+                vals_a[off_a[0]:off_a[-1]] if len(off_a) else vals_a,
+                np.diff(off_a),
+                vals_b[off_b[0]:off_b[-1]] if len(off_b) else vals_b,
+                np.diff(off_b),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(counts.sum(keepdims=True), type=pa.int64())], ["tri"]
+            )
+
+    return count_batches
+
+
+_count_batches = _make_count_batches(batch_intersect_count)
+_count_batches_bsr = _make_count_batches(batch_bsr_intersect_count)
 
 
 def triangle_count_kernel(
-    edges: DataFrame, hub_deg_ratio: float | None | str = "auto"
+    edges: DataFrame,
+    hub_deg_ratio: float | None | str = "auto",
+    kernel: str = "uint",
 ) -> int:
     """Adjacency + vectorized numpy batch kernel via mapInArrow.
 
@@ -160,9 +175,15 @@ def triangle_count_kernel(
     .cpp:150-205); Spark's ``sum`` does the final reduce.
     ``hub_deg_ratio`` (e.g. 0.3) turns on the broadcast-hub-adjacency
     split for Zipf-skewed graphs; the default "auto" enables it only
-    when the degree distribution is actually skewed."""
+    when the degree distribution is actually skewed.
+
+    ``kernel``: "uint" (element-wise searchsorted) or "bsr" (bit-packed
+    base/state AND+popcount — the reference's BP path,
+    src/bitpack_triangle_count.cpp:43-103, which pays off after a degree
+    relabel densifies the id space; measure with relabel.comp_ratio)."""
+    fn = {"uint": _count_batches, "bsr": _count_batches_bsr}[kernel]
     joined = _edge_with_lower_adj(edges, hub_deg_ratio)
-    partials = joined.mapInArrow(_count_batches, "tri long")
+    partials = joined.mapInArrow(fn, "tri long")
     row = partials.agg(F.sum("tri").alias("tri")).collect()[0]
     return int(row["tri"] or 0)
 

@@ -13,15 +13,20 @@ in Spark it solves two problems at once:
    iteration; commit is atomic via manifest-line-last ordering (the data
    snapshot is fully written before its manifest line appears).
 
-Layout (parquet stands in for Iceberg here — same snapshot-per-iteration
-semantics; on a real cluster swap ``_write_snapshot`` for
-``df.writeTo(table).createOrReplace()`` with Iceberg's own manifest):
+Layout (``storage="parquet"``, the sandbox default — same
+snapshot-per-iteration semantics as Iceberg; ``storage="iceberg"`` routes
+through ``df.writeTo(...).using("iceberg").createOrReplace()`` against a
+configured Iceberg catalog, for clusters that carry the runtime jar):
 
     <base>/<run_id>/iter=NNNNN/         parquet snapshot
     <base>/<run_id>/MANIFEST.jsonl      one JSON line per committed iter:
         {run_id, algorithm, iteration, parent_iteration, params,
          metrics: {...user metrics...},
          partitions: [{partition_id, rows}, ...]}
+
+With Iceberg, snapshots live at ``<table_prefix>_iter_NNNNN`` and Iceberg
+keeps its own table-level manifests; the run-level MANIFEST.jsonl (lineage
++ metrics + resume pointer) is written either way.
 """
 
 from __future__ import annotations
@@ -41,11 +46,18 @@ class CheckpointManager:
         run_id: str,
         algorithm: str = "",
         params: dict[str, Any] | None = None,
+        storage: str = "parquet",
+        table_prefix: str | None = None,
     ):
+        if storage not in ("parquet", "iceberg"):
+            raise ValueError(f"unknown checkpoint storage {storage!r}")
         self.dir = os.path.join(base_dir, run_id)
         self.run_id = run_id
         self.algorithm = algorithm
         self.params = params or {}
+        self.storage = storage
+        # iceberg snapshots are tables, not paths: <prefix>_iter_NNNNN
+        self.table_prefix = table_prefix or f"gsi_ckpt_{run_id}"
         self.manifest_path = os.path.join(self.dir, "MANIFEST.jsonl")
         os.makedirs(self.dir, exist_ok=True)
 
@@ -63,6 +75,25 @@ class CheckpointManager:
     def _snapshot_path(self, iteration: int) -> str:
         return os.path.join(self.dir, f"iter={iteration:05d}")
 
+    def _snapshot_table(self, iteration: int) -> str:
+        return f"{self.table_prefix}_iter_{iteration:05d}"
+
+    def _write_snapshot(self, df: DataFrame, iteration: int) -> DataFrame:
+        """Write the snapshot and return it read back (fresh lineage)."""
+        spark = df.sparkSession
+        if self.storage == "iceberg":
+            table = self._snapshot_table(iteration)
+            df.writeTo(table).using("iceberg").createOrReplace()
+            return spark.read.table(table)
+        path = self._snapshot_path(iteration)
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    def _read_snapshot(self, spark: SparkSession, iteration: int) -> DataFrame:
+        if self.storage == "iceberg":
+            return spark.read.table(self._snapshot_table(iteration))
+        return spark.read.parquet(self._snapshot_path(iteration))
+
     # -- commit / restore --------------------------------------------------
     def commit(
         self,
@@ -73,10 +104,7 @@ class CheckpointManager:
         """Write the iteration snapshot, record per-partition lineage +
         metrics, append the manifest line (commit point), and return the
         read-back DataFrame (fresh lineage — plan growth truncated)."""
-        path = self._snapshot_path(iteration)
-        df.write.mode("overwrite").parquet(path)
-        spark = df.sparkSession
-        back = spark.read.parquet(path)
+        back = self._write_snapshot(df, iteration)
         part_rows = (
             back.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count("*").alias("rows"))
@@ -104,7 +132,7 @@ class CheckpointManager:
         it = self.latest_iteration()
         if it is None:
             return None
-        return it, spark.read.parquet(self._snapshot_path(it))
+        return it, self._read_snapshot(spark, it)
 
     def metrics_history(self) -> list[dict[str, Any]]:
         return [

@@ -32,6 +32,29 @@ _WORDS = [
 ]
 
 
+PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
+
+
+def read_pages(spark: SparkSession, source: str) -> DataFrame:
+    """Load the pages table from its production or sandbox form.
+
+    ``source`` is an Iceberg/catalog TABLE NAME (the north rule's input —
+    read via ``spark.read.table``, so Iceberg partition pruning and
+    snapshot isolation apply) unless it looks like a filesystem path, in
+    which case it is read as parquet (the sandbox stand-in). Only the five
+    contract columns are selected either way, so the scan prunes to them.
+    """
+    looks_like_path = source.startswith(("/", "file:", "s3:", "hdfs:", ".")) or (
+        source.endswith(".parquet")
+    )
+    df = (
+        spark.read.parquet(source)
+        if looks_like_path
+        else spark.read.table(source)
+    )
+    return df.select(*PAGES_COLUMNS)
+
+
 def _uniform(seed_col: Column, lo: float = 0.0, hi: float = 1.0) -> Column:
     """Deterministic pseudo-uniform in [lo, hi) from a column via xxhash64."""
     u = (F.xxhash64(seed_col) % F.lit(1_000_003) + F.lit(1_000_003)) % F.lit(

@@ -88,3 +88,51 @@ def test_batch_intersect_count_empty_rows():
     got = K.batch_intersect_count_lists([e, np.array([1, 2])], [np.array([1]), e])
     assert got.tolist() == [0, 0]
     assert K.batch_intersect_count_lists([], []).tolist() == []
+
+
+def _flatten_lists(lists):
+    lens = np.array([len(x) for x in lists], dtype=np.int64)
+    vals = (
+        np.concatenate([np.asarray(x, dtype=np.int64) for x in lists])
+        if lens.sum()
+        else np.empty(0, dtype=np.int64)
+    )
+    return vals, lens
+
+
+@pytest.mark.parametrize("dense", [0.01, 0.3, 0.9])
+def test_batch_bsr_matches_uint_kernel(dense):
+    """BSR batch kernel ≡ element-wise batch kernel across densities
+    (the reference's BP-vs-Org parity, src/tc.cpp:14-16)."""
+    rng = np.random.default_rng(31)
+    lists_a, lists_b = [], []
+    for _ in range(150):
+        a, b = gen_sorted_pair(
+            rng, rng.integers(0, 80), 1.0, float(rng.random()), dense
+        )
+        lists_a.append(a)
+        lists_b.append(b)
+    va, la = _flatten_lists(lists_a)
+    vb, lb = _flatten_lists(lists_b)
+    got_bsr = K.batch_bsr_intersect_count(va, la, vb, lb)
+    got_uint = K.batch_intersect_count(va, la, vb, lb)
+    assert got_bsr.tolist() == got_uint.tolist()
+
+
+def test_batch_bsr_empty():
+    e = np.empty(0, dtype=np.int64)
+    z = np.array([0], dtype=np.int64)
+    assert K.batch_bsr_intersect_count(e, z, e, z).tolist() == [0]
+    assert K.batch_bsr_intersect_count(
+        e, np.empty(0, dtype=np.int64), e, np.empty(0, dtype=np.int64)
+    ).tolist() == []
+
+
+def test_batch_kernels_reject_out_of_range_ids():
+    big = np.array([1 << 40], dtype=np.int64)
+    one = np.array([1], dtype=np.int64)
+    for fn in (K.batch_intersect_count, K.batch_bsr_intersect_count):
+        with pytest.raises(ValueError):
+            fn(big, one, big, one)
+        with pytest.raises(ValueError):
+            fn(-one, one, one, one)

@@ -112,3 +112,26 @@ def test_edges_pipeline_triangles_and_densification(spark, pages):
     assert comp_ratio(relabeled) <= comp_ratio(edges)  # densification
     edges.unpersist()
     relabeled.unpersist()
+
+
+def test_read_pages_parquet_standin(spark, pages, tmp_path):
+    """read_pages: filesystem source reads parquet and prunes to the five
+    contract columns; a catalog name routes to spark.read.table."""
+    from graphsetintersection_spark.sources.pages import PAGES_COLUMNS, read_pages
+
+    p = str(tmp_path / "pages.parquet")
+    pages.withColumn("extra", pages.url).write.parquet(p)
+    back = read_pages(spark, p)
+    assert back.columns == PAGES_COLUMNS
+    assert back.count() == pages.count()
+
+
+def test_checkpoint_storage_validation(tmp_path):
+    import pytest
+
+    from graphsetintersection_spark.plans.checkpoint import CheckpointManager
+
+    with pytest.raises(ValueError):
+        CheckpointManager(str(tmp_path), "run", storage="bogus")
+    ck = CheckpointManager(str(tmp_path), "run", storage="iceberg")
+    assert ck._snapshot_table(3) == "gsi_ckpt_run_iter_00003"

@@ -6,9 +6,11 @@ from tests.conftest import brute_triangles, random_graph
 
 from graphsetintersection_spark.operators.relabel import (
     apply_order,
+    bfs_order,
     comp_ratio,
     continuous_ids,
     degree_order,
+    hub_degree_threshold,
     leaf_node_count,
     select_bignode,
 )
@@ -73,3 +75,59 @@ def test_select_bignode_covers_ratio(spark, tiny_graph):
 def test_leaf_node_count(spark):
     df = spark.createDataFrame([(0, 1), (1, 2), (2, 0), (2, 3)], "src long, dst long")
     assert leaf_node_count(df) == 1  # vertex 3
+
+
+def test_hub_degree_threshold(spark):
+    from graphsetintersection_spark.operators.edges import degrees
+
+    df = spark.createDataFrame(
+        [(0, i) for i in range(1, 10)] + [(1, 2), (3, 4)], "src long, dst long"
+    )
+    deg = degrees(df)
+    t = hub_degree_threshold(deg, 0.3)
+    # vertex 0 has deg 9 (~41% of total 22) — the 0.3 cut is its degree
+    assert t == 9
+    assert hub_degree_threshold(deg, 0.999) == 1
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert hub_degree_threshold(degrees(empty), 0.3) is None
+
+
+def test_bfs_order_levels_and_bijection(spark):
+    # star root 10 with arms 20,30 and a 2-hop tail 40 behind 20
+    df = spark.createDataFrame(
+        [(10, 20), (10, 30), (20, 40)], "src long, dst long"
+    )
+    order = {r["org_id"]: r["new_id"] for r in bfs_order(df).collect()}
+    assert sorted(order.values()) == [0, 1, 2, 3]
+    assert order[10] == 0                 # max-out-degree root first
+    assert order[20] < order[40]          # level 1 before level 2
+    assert order[30] < order[40]
+
+
+def test_bfs_order_beats_degree_order_on_scrambled_grid(spark):
+    """The comparative reordering story (reference src/porder.cpp: multiple
+    orderings judged by comp_ratio): on an id-scrambled 16x24 grid almost
+    all degrees tie, so degree order recovers no locality, but BFS order
+    clusters the narrow (≤16-wide) frontier bands into consecutive ids and
+    lowers comp_ratio."""
+    W, D = 16, 24
+    n = W * D
+
+    def vid(x, y):
+        return ((y * W + x) * 91) % n  # id scramble (gcd(91, 384) = 1)
+
+    pairs = []
+    for y in range(D):
+        for x in range(W):
+            if x + 1 < W:
+                pairs.append((vid(x, y), vid(x + 1, y)))
+            if y + 1 < D:
+                pairs.append((vid(x, y), vid(x, y + 1)))
+    # symmetrize so BFS over out-edges explores the whole grid
+    pairs = pairs + [(b, a) for a, b in pairs]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    base = comp_ratio(df)
+    deg_r = comp_ratio(apply_order(df, degree_order(df)))
+    bfs_r = comp_ratio(apply_order(df, bfs_order(df, max_levels=64)))
+    assert bfs_r < base
+    assert bfs_r < deg_r

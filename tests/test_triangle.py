@@ -61,6 +61,23 @@ def test_triangle_hub_split_parity(spark):
     assert triangle_count_kernel(df, hub_deg_ratio=0.3) == brute_triangles(pairs)
 
 
+def test_triangle_bsr_kernel_parity(spark):
+    """BSR bit-packed kernel ≡ uint kernel ≡ brute force (the reference's
+    BP path, src/bitpack_triangle_count.cpp:43-103) — after a degree
+    relabel, which is the reorder→densify→bit-pack pipeline."""
+    from graphsetintersection_spark.operators.relabel import (
+        apply_order,
+        degree_order,
+    )
+
+    pairs = random_graph(100, 1800, seed=13)
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    expected = brute_triangles(pairs)
+    relabeled = apply_order(df, degree_order(df))
+    assert triangle_count_kernel(relabeled, kernel="bsr") == expected
+    assert triangle_count_kernel(df, kernel="bsr") == expected
+
+
 def test_triangles_per_edge_sums_to_total(spark, tiny_graph):
     pairs, df = tiny_graph
     per_edge = triangles_per_edge(df)
