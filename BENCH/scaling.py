@@ -37,7 +37,7 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-EDGES_PATH = "/tmp/gsi_scaling_edges_dense"
+EDGES_PATH = "/tmp/gsi_scaling_edges_xl"
 LO, HI = 4, 16
 SHUFFLE_PARTITIONS = 64
 PR_ITERS = 3
@@ -72,17 +72,20 @@ from graphsetintersection_spark.session import get_spark
 from pyspark.sql import functions as F
 from graphsetintersection_spark.operators.triangle import (
     _edge_with_lower_adj, _count_batches)
-from graphsetintersection_spark.operators.pagerank import pagerank
+from graphsetintersection_spark.operators.pagerank import (
+    pagerank_df_prepare, pagerank_df_iterate,
+    pagerank_kernel_prepare, pagerank_kernel_iterate)
 
 spark = get_spark(app_name=f"gsi-scaling-{cores}", master=f"local[{cores}]",
                   shuffle_partitions=%(sp)d,
                   extra_conf={"spark.sql.execution.arrow.maxRecordsPerBatch":
-                              "20000"})
+                              "1048576"})
 edges = spark.read.parquet(%(edges)r).persist()
 n_edges = edges.count()
 
 def build():
-    j = _edge_with_lower_adj(edges).persist()
+    j, _ = _edge_with_lower_adj(edges)
+    j = j.persist()
     j.count()
     return j
 
@@ -91,11 +94,23 @@ def count(j):
                 .agg(F.sum("tri")).collect()[0][0])
 
 jw = build(); tri = count(jw)           # warm-up round (JIT, worker pool)
-pagerank(edges, max_iter=1, tol=None).ranks.count()
 jw.unpersist(True)
 
+# PageRank: prepare once per path (the index-build phase, timed), then
+# the iteration loops are what scale — measured separately, like the
+# reference's build vs query split (src/tc.cpp:28-29 vs :41-46)
+t0 = time.perf_counter()
+prep_k = pagerank_kernel_prepare(edges, relabel=False)  # corpus pre-relabeled
+prep_k_secs = round(time.perf_counter() - t0, 2)
+t0 = time.perf_counter()
+prep_df = pagerank_df_prepare(edges)
+prep_df_secs = round(time.perf_counter() - t0, 2)
+pagerank_kernel_iterate(prep_k, max_iter=1)                      # warm-up
+pagerank_df_iterate(prep_df, max_iter=1, tol=None).ranks.count() # warm-up
+
 res = {"cores": cores, "n_edges": n_edges, "triangles": tri,
-       "build_secs": [], "count_secs": [], "pr_secs": []}
+       "pr_prep_kernel_secs": prep_k_secs, "pr_prep_df_secs": prep_df_secs,
+       "build_secs": [], "count_secs": [], "pr_secs": [], "prk_secs": []}
 for _ in range(%(repeats)d):
     t0 = time.perf_counter(); j = build()
     res["build_secs"].append(round(time.perf_counter() - t0, 2))
@@ -103,8 +118,11 @@ for _ in range(%(repeats)d):
     res["count_secs"].append(round(time.perf_counter() - t0, 2))
     assert t == tri
     j.unpersist(True)
-    t0 = time.perf_counter(); pagerank(edges, max_iter=%(pr_iters)d, tol=None).ranks.count()
+    t0 = time.perf_counter()
+    pagerank_df_iterate(prep_df, max_iter=%(pr_iters)d, tol=None).ranks.count()
     res["pr_secs"].append(round(time.perf_counter() - t0, 2))
+    t0 = time.perf_counter(); pagerank_kernel_iterate(prep_k, max_iter=%(pr_iters)d)
+    res["prk_secs"].append(round(time.perf_counter() - t0, 2))
 print(json.dumps(res))
 spark.stop()
 """
@@ -128,7 +146,7 @@ def read_steal() -> int:
 def main():
     from statistics import median
 
-    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     avg_links = float(sys.argv[2]) if len(sys.argv) > 2 else 30.0
     subst = {"repo": REPO, "edges": EDGES_PATH, "sp": SHUFFLE_PARTITIONS,
              "repeats": REPEATS, "pr_iters": PR_ITERS}
@@ -150,7 +168,7 @@ def main():
             if cores not in pooled:
                 pooled[cores] = r
             else:
-                for k in ("build_secs", "count_secs", "pr_secs"):
+                for k in ("build_secs", "count_secs", "pr_secs", "prk_secs"):
                     pooled[cores][k] += r[k]
                 assert pooled[cores]["triangles"] == r["triangles"]
 
@@ -175,8 +193,10 @@ def main():
             r_lo["count_secs"], r_hi["count_secs"], n_edges),
         row("TC end-to-end (index build + count) edges/sec",
             e2e_lo, e2e_hi, n_edges),
-        row("PageRank edges/sec/iteration",
+        row("PageRank (DataFrame path) edges/sec/iteration",
             r_lo["pr_secs"], r_hi["pr_secs"], n_edges * PR_ITERS),
+        row("PageRank (broadcast-vector kernel) edges/sec/iteration",
+            r_lo["prk_secs"], r_hi["prk_secs"], n_edges * PR_ITERS),
     ])
 
     n_meas = PASSES * REPEATS

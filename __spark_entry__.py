@@ -89,6 +89,23 @@ def _q_comp_ratio(spark, sf_dir):
     )
 
 
+BFS_MAX_LEVELS = 16
+
+
+def _q_bfs_relabel(spark, sf_dir):
+    from graphsetintersection_spark.operators.relabel import bfs_order
+
+    return bfs_order(_lgraph(spark, sf_dir), max_levels=BFS_MAX_LEVELS).select(
+        "org_id", "new_id"
+    )
+
+
+def _q_dedup_keep_first(spark, sf_dir):
+    from graphsetintersection_spark.functions.dedup import dedup_keep_first
+
+    return dedup_keep_first(_docs(spark, sf_dir)).select("doc_id")
+
+
 def _q_hubs(spark, sf_dir):
     from graphsetintersection_spark.operators.relabel import select_bignode
 
@@ -302,6 +319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lgraph_edges": _q_lgraph_edges,
         "degree_table": _q_degree_table,
         "degree_relabel": _q_degree_relabel,
+        "bfs_relabel": _q_bfs_relabel,
         "comp_ratio": _q_comp_ratio,
         "hubs": _q_hubs,
         "triangle_count": _q_triangle_count,
@@ -317,6 +335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
         "exact_dedup": _q_exact_dedup,
+        "dedup_keep_first": _q_dedup_keep_first,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_lsh_dedup": _q_minhash_lsh,
         "simhash_dedup": _q_simhash,
@@ -637,6 +656,40 @@ select coalesce(o.v, i.v) as v,
        coalesce(in_deg, 0) as in_deg,
        coalesce(out_deg, 0) + coalesce(in_deg, 0) as deg
 from o full outer join i on o.v = i.v
+""",
+        # bfs_order: levels = shortest out-edge distance from the highest-
+        # total-degree root; rank over (level asc, deg desc, v asc);
+        # unreached vertices get level max_levels+1 (relabel.bfs_order)
+        "bfs_relabel": f"""
+with recursive edges as materialized ({_LGRAPH_EDGES}),
+o as (select src as v, count(*) as out_deg from edges group by src),
+i as (select dst as v, count(*) as in_deg from edges group by dst),
+deg as materialized (
+  select coalesce(o.v, i.v) as v,
+         coalesce(out_deg, 0) + coalesce(in_deg, 0) as deg
+  from o full outer join i on o.v = i.v
+),
+root as (select v from deg order by deg desc, v asc limit 1),
+reach(v, level) as (
+  select v, 0 from root
+  union
+  select e.dst, reach.level + 1
+  from reach join edges e on e.src = reach.v
+  where reach.level < {BFS_MAX_LEVELS}
+),
+lvl as (select v, min(level) as level from reach group by v)
+select deg.v as org_id,
+       cast(row_number() over (
+         order by coalesce(lvl.level, {BFS_MAX_LEVELS + 1}) asc,
+                  deg.deg desc, deg.v asc) - 1 as bigint) as new_id
+from deg left join lvl on lvl.v = deg.v
+""",
+        "dedup_keep_first": """
+select doc_id from (
+  select doc_id,
+         row_number() over (partition by text order by doc_id) as rn
+  from documents
+) where rn = 1
 """,
         "degree_relabel": f"""
 with edges as ({_LGRAPH_EDGES}),

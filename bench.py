@@ -98,13 +98,32 @@ def main() -> None:
     )
     assert tri_bsr == tri, "BSR kernel diverged from uint kernel"
 
-    # ---- PageRank iterations — north-rule throughput metric
+    # ---- PageRank iterations — north-rule throughput metric.
+    # DataFrame path (checkpointable/resumable) and the broadcast-vector
+    # kernel path (the north star's numpy-over-CSR-blocks design).
     timed(
         "pagerank_iters",
         lambda: pagerank(relabeled, max_iter=PR_BENCH_ITERS, tol=None).ranks.count(),
     )
     throughput["pagerank_edges_per_sec_per_iter"] = round(
         n_edges * PR_BENCH_ITERS / timings["pagerank_iters"], 1
+    )
+    from graphsetintersection_spark.operators.pagerank import (
+        pagerank_kernel_iterate,
+        pagerank_kernel_prepare,
+    )
+
+    prep = timed(
+        "pagerank_kernel_prepare",
+        lambda: pagerank_kernel_prepare(relabeled, relabel=False),
+    )
+    timed(
+        "pagerank_kernel_iters",
+        lambda: pagerank_kernel_iterate(prep, max_iter=PR_BENCH_ITERS),
+    )
+    prep.unpersist()
+    throughput["pagerank_kernel_edges_per_sec_per_iter"] = round(
+        n_edges * PR_BENCH_ITERS / timings["pagerank_kernel_iters"], 1
     )
 
     # ---- connected components + LPA on the corpus graph. Both CC

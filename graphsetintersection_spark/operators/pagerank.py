@@ -66,14 +66,58 @@ def pagerank(
     aggregation is already exchange-free (edges stationary by dst), so
     salting would add cost for nothing. "auto" enables S=16 salts when the
     in-degree distribution is skewed; an int forces that salt count."""
-    spark = edges.sparkSession
+    prep = pagerank_df_prepare(
+        edges,
+        dedup=dedup,
+        broadcast_ranks=broadcast_ranks,
+        salt_hubs=salt_hubs,
+    )
+    try:
+        return pagerank_df_iterate(
+            prep,
+            alpha=alpha,
+            max_iter=max_iter,
+            tol=tol,
+            checkpointer=checkpointer,
+            checkpoint_every=checkpoint_every,
+        )
+    finally:
+        prep.unpersist()
+
+
+@dataclass
+class PreparedDFGraph:
+    """Stationary state for the DataFrame power iteration: vertex set,
+    vertex count, the degree-annotated edge cache, and the join strategy."""
+
+    verts: DataFrame
+    n: int
+    e_deg: DataFrame
+    broadcast_ranks: bool
+    salt_s: int | None
+
+    def unpersist(self) -> None:
+        # blocking: the caches are multi-GB at bench scale — an async drop
+        # races the next run's memory demand
+        self.verts.unpersist(blocking=True)
+        self.e_deg.unpersist(blocking=True)
+
+
+def pagerank_df_prepare(
+    edges: DataFrame,
+    dedup: bool = True,
+    broadcast_ranks: bool | None = None,
+    salt_hubs: int | str | None = "auto",
+) -> PreparedDFGraph:
+    """One-time index build for the DataFrame path: canonicalize, vertex
+    set, degree-annotated edges repartitioned for the chosen join strategy
+    and cached. Separated from the loop so repeated runs (and the scaling
+    bench) pay it once per graph — the analog of the reference's printed
+    index-build phase (src/tc.cpp:28-29)."""
     e = canonicalize(edges) if dedup else edges.select("src", "dst")
 
     verts = vertices(e).persist()
     n = verts.count()
-    if n == 0:
-        empty = spark.createDataFrame([], "v long, rank double")
-        return PageRankResult(empty, 0, True)
 
     out_deg = e.groupBy(F.col("src").alias("v")).agg(
         F.count("*").alias("out_deg")
@@ -96,7 +140,7 @@ def pagerank(
     # under S salts so no single reducer sums a whole hub alone.
     salt_s: int | None = None
     hub_dsts = None
-    if not broadcast_ranks and salt_hubs:
+    if not broadcast_ranks and salt_hubs and n:
         from graphsetintersection_spark.operators.relabel import (
             hub_degree_threshold,
         )
@@ -125,7 +169,26 @@ def pagerank(
         e_deg.repartition("dst" if broadcast_ranks else "src")
         .persist()
     )
-    e_deg.count()  # materialize once
+    if n:
+        e_deg.count()  # materialize once
+    return PreparedDFGraph(verts, n, e_deg, broadcast_ranks, salt_s)
+
+
+def pagerank_df_iterate(
+    prep: PreparedDFGraph,
+    alpha: float = 0.85,
+    max_iter: int = 20,
+    tol: float | None = 1e-8,
+    checkpointer: CheckpointManager | None = None,
+    checkpoint_every: int = 1,
+) -> PageRankResult:
+    """The DataFrame power-iteration loop over a PreparedDFGraph."""
+    spark = prep.e_deg.sparkSession
+    verts, n, e_deg = prep.verts, prep.n, prep.e_deg
+    broadcast_ranks, salt_s = prep.broadcast_ranks, prep.salt_s
+    if n == 0:
+        empty = spark.createDataFrame([], "v long, rank double")
+        return PageRankResult(empty, 0, True)
 
     start_iter = 0
     ranks = verts.select("v", F.lit(1.0 / n).alias("rank"))
@@ -145,6 +208,7 @@ def pagerank(
     converged = False
     deltas: list[float] = []
     it = start_iter
+    prev_snapshot: DataFrame | None = None  # superseded localCheckpoint
     for it in range(start_iter, max_iter):
         ranks_src = ranks.withColumnRenamed("v", "src")
         if broadcast_ranks:
@@ -224,8 +288,13 @@ def pagerank(
                          "n_vertices": n},
             )
 
-        # new_ranks is now self-contained; the contribs cache can go
+        # new_ranks is now self-contained; the contribs cache can go, and
+        # the PREVIOUS iteration's localCheckpoint blocks are superseded —
+        # drop them so long runs don't accumulate cached rank snapshots
         contribs.unpersist()
+        if prev_snapshot is not None:
+            prev_snapshot.unpersist()
+        prev_snapshot = new_ranks if checkpointer is None else None
         ranks = new_ranks
         if tol is not None and delta is not None and delta < tol:
             converged = True
@@ -234,6 +303,181 @@ def pagerank(
     else:
         it = max_iter
 
-    verts.unpersist()
-    e_deg.unpersist()
+    return PageRankResult(ranks, it, converged, deltas)
+
+
+@dataclass
+class PreparedGraph:
+    """Stationary state for the kernel power iteration: the cached dense-id
+    edge blocks, the out-degree vector, and the id mapping (None when ids
+    were already dense)."""
+
+    blocks: DataFrame
+    outdeg: "object"      # np.ndarray (n,)
+    n: int
+    order: DataFrame | None
+
+    def unpersist(self) -> None:
+        self.blocks.unpersist()
+        if self.order is not None:
+            self.order.unpersist()
+
+
+def pagerank_kernel_prepare(edges: DataFrame, relabel: bool = True) -> PreparedGraph:
+    """One-time index build for ``pagerank_kernel_iterate`` — the analog of
+    the reference's index-build phase (src/tc.cpp:28-29): canonicalize,
+    densify ids (two-phase relabel), cache the edge blocks, collect the
+    out-degree vector."""
+    import numpy as np
+
+    spark = edges.sparkSession
+    e = canonicalize(edges)
+    order = None
+    if relabel:
+        from graphsetintersection_spark.operators.relabel import (
+            apply_order,
+            continuous_ids,
+        )
+
+        order = continuous_ids(e).persist()
+        n = order.count()
+        dense = apply_order(e, order)
+    else:
+        mx = e.agg(F.greatest(F.max("src"), F.max("dst"))).collect()[0][0]
+        n = int(mx) + 1 if mx is not None else 0
+        dense = e
+    # hash-partition by dst ONCE: each partition then owns its dst range,
+    # so every iteration's per-partition bincount emits only that
+    # partition's vertices (total collect ≈ V rows/iteration, not P×V)
+    blocks = (
+        dense.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .repartition("dst")
+        .persist()
+    )
+    blocks.count()
+    outdeg = np.zeros(max(n, 1), dtype=np.float64)
+    if n:
+        out_pdf = blocks.groupBy("src").agg(F.count("*").alias("d")).toPandas()
+        outdeg[out_pdf["src"].to_numpy(dtype=np.int64)] = out_pdf[
+            "d"
+        ].to_numpy(dtype=np.float64)
+    return PreparedGraph(blocks, outdeg, n, order)
+
+
+def pagerank_kernel_iterate(
+    prep: PreparedGraph,
+    alpha: float = 0.85,
+    max_iter: int = 20,
+    tol: float | None = None,
+):
+    """(rank_vector, iterations, converged, deltas) — the pure iteration
+    loop over a PreparedGraph. Each iteration: one ~8B/vertex broadcast,
+    one mapInArrow bincount job over the cached blocks, one ~16B/vertex
+    partial collect. No shuffle."""
+    import numpy as np
+
+    sc = prep.blocks.sparkSession.sparkContext
+    n = prep.n
+    if n == 0:
+        return np.empty(0), 0, True, []
+    dangling_mask = prep.outdeg == 0.0
+    safe_out = np.where(dangling_mask, 1.0, prep.outdeg)
+    ranks_vec = np.full(n, 1.0 / n, dtype=np.float64)
+    converged = False
+    deltas: list[float] = []
+    it = 0
+    for it in range(max_iter):
+        w = np.where(dangling_mask, 0.0, ranks_vec / safe_out)
+        bc = sc.broadcast(w)
+
+        def partials(batches, _bc=bc):
+            import numpy as np
+            import pyarrow as pa
+
+            wv = _bc.value
+            for batch in batches:
+                src = batch.column(0).to_numpy(zero_copy_only=False)
+                dst = batch.column(1).to_numpy(zero_copy_only=False)
+                ud, inv = np.unique(dst, return_inverse=True)
+                c = np.bincount(inv, weights=wv[src])
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(ud, type=pa.int64()),
+                     pa.array(c, type=pa.float64())],
+                    ["v", "c"],
+                )
+
+        part = prep.blocks.mapInArrow(partials, "v long, c double").toPandas()
+        contrib = np.bincount(
+            part["v"].to_numpy(dtype=np.int64),
+            weights=part["c"].to_numpy(dtype=np.float64),
+            minlength=n,
+        )
+        bc.destroy()
+        dangling = float(ranks_vec[dangling_mask].sum())
+        new_vec = (1.0 - alpha) / n + alpha * (contrib + dangling / n)
+        if tol is not None:
+            delta = float(np.abs(new_vec - ranks_vec).max())
+            deltas.append(delta)
+            ranks_vec = new_vec
+            if delta < tol:
+                converged = True
+                it += 1
+                break
+        else:
+            ranks_vec = new_vec
+    else:
+        it = max_iter
+    return ranks_vec, it, converged, deltas
+
+
+def pagerank_kernel(
+    edges: DataFrame,
+    alpha: float = 0.85,
+    max_iter: int = 20,
+    tol: float | None = None,
+    relabel: bool = True,
+) -> PageRankResult:
+    """Broadcast-vector power iteration over stationary cached edge
+    partitions — the north star's stated kernel design ("vectorized
+    numpy/Arrow kernels inside pandas UDFs over CSR-blocked edge
+    partitions, never per-row Python").
+
+    Per iteration: broadcast the weight vector w = rank/outdeg (8 B/vertex),
+    one mapInArrow job over the CACHED edge blocks (per Arrow batch:
+    ``np.bincount(dst, weights=w[src])`` — one vectorized gather+scatter),
+    driver-side assembly of the contribution vector + closed-form
+    dangling/teleport terms. NO shuffle at any iteration; the only
+    per-iteration serial costs are a ~8B/vertex broadcast and a ~16B/vertex
+    partial collect.
+
+    Scope: the rank/out-degree vectors must fit on the driver and each
+    executor (~10^8 vertices in a few GB). Beyond that, use ``pagerank``
+    (the DataFrame path, which also owns checkpoint/resume). Parity with
+    it is allclose-1e-12 (same float64 math, different summation order).
+
+    ``relabel=False`` asserts ids are already dense 0..V-1 and skips the
+    continuous-id join."""
+    import numpy as np
+    import pandas as pd
+
+    spark = edges.sparkSession
+    prep = pagerank_kernel_prepare(edges, relabel=relabel)
+    if prep.n == 0:
+        prep.unpersist()
+        empty = spark.createDataFrame([], "v long, rank double")
+        return PageRankResult(empty, 0, True)
+    ranks_vec, it, converged, deltas = pagerank_kernel_iterate(
+        prep, alpha=alpha, max_iter=max_iter, tol=tol
+    )
+    ranks_pdf = pd.DataFrame(
+        {"v": np.arange(prep.n, dtype=np.int64), "rank": ranks_vec}
+    )
+    ranks = spark.createDataFrame(ranks_pdf)
+    if prep.order is not None:
+        ranks = (
+            ranks.withColumnRenamed("v", "new_id")
+            .join(prep.order, "new_id")
+            .select(F.col("org_id").alias("v"), "rank")
+        )
+    prep.unpersist()
     return PageRankResult(ranks, it, converged, deltas)

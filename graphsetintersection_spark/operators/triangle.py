@@ -99,31 +99,40 @@ def _auto_hub_ratio(adj: DataFrame) -> float | None:
 
 def _edge_with_lower_adj(
     edges: DataFrame, hub_deg_ratio: float | None | str = None
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame | None]:
     """Joined frame (src, dst, nbrs_a, nbrs_b) of smaller-id adjacency for
     both endpoints of each oriented edge. Two shuffles; the oriented edge
     list is reused for both the iteration list and the adjacency source,
     mirroring the reference build (src/bitpack_triangle_count.cpp:18-68).
     ``hub_deg_ratio`` enables the broadcast-hub-adjacency split; "auto"
-    turns it on only when the degree distribution is skewed."""
+    turns it on only when the degree distribution is skewed.
+
+    Returns (joined, persisted_adj_or_None); the caller MUST unpersist the
+    second element once the joined frame has been consumed (a leaked
+    multi-hundred-MB adjacency cache starves executor storage memory)."""
     e = orient(edges).select("src", "dst")
     adj = lower_adjacency(e)
+    persisted: DataFrame | None = None
     if hub_deg_ratio == "auto":
         adj = adj.persist()
+        persisted = adj
         hub_deg_ratio = _auto_hub_ratio(adj)
     elif hub_deg_ratio is not None:
         adj = adj.persist()  # reused by both joins + the threshold scan
+        persisted = adj
     j1 = _join_adj(e, adj, "src", "nbrs_a", hub_deg_ratio)
     j2 = _join_adj(j1, adj, "dst", "nbrs_b", hub_deg_ratio)
-    return j2.select("src", "dst", "nbrs_a", "nbrs_b")
+    return j2.select("src", "dst", "nbrs_a", "nbrs_b"), persisted
 
 
 def triangle_count_arrays(edges: DataFrame) -> int:
     """Adjacency + JVM ``array_intersect`` — no Python at all."""
-    joined = _edge_with_lower_adj(edges)
+    joined, persisted = _edge_with_lower_adj(edges)
     row = joined.agg(
         F.sum(F.size(F.array_intersect("nbrs_a", "nbrs_b"))).alias("tri")
     ).collect()[0]
+    if persisted is not None:
+        persisted.unpersist()
     return int(row["tri"] or 0)
 
 
@@ -182,9 +191,11 @@ def triangle_count_kernel(
     src/bitpack_triangle_count.cpp:43-103, which pays off after a degree
     relabel densifies the id space; measure with relabel.comp_ratio)."""
     fn = {"uint": _count_batches, "bsr": _count_batches_bsr}[kernel]
-    joined = _edge_with_lower_adj(edges, hub_deg_ratio)
+    joined, persisted = _edge_with_lower_adj(edges, hub_deg_ratio)
     partials = joined.mapInArrow(fn, "tri long")
     row = partials.agg(F.sum("tri").alias("tri")).collect()[0]
+    if persisted is not None:
+        persisted.unpersist()
     return int(row["tri"] or 0)
 
 
@@ -192,7 +203,7 @@ def triangles_per_edge(edges: DataFrame) -> DataFrame:
     """Per-oriented-edge common-smaller-neighbor count — the engine's
     surfaced form of intersect_count (set_operation.cpp:129-144) over
     adjacency pairs. Returns (src, dst, common) with common > 0 only."""
-    joined = _edge_with_lower_adj(edges)
+    joined, _ = _edge_with_lower_adj(edges)  # no hub split → nothing persisted
     return joined.select(
         "src",
         "dst",

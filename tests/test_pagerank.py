@@ -84,3 +84,34 @@ def test_pagerank_resume_matches_uninterrupted(spark, tiny_graph, tmp_path):
     assert [e["iteration"] for e in entries] == list(range(12))
     assert all(e["partitions"] for e in entries)
     assert all("n_vertices" in e["metrics"] for e in entries)
+
+
+def test_pagerank_kernel_parity(spark, tiny_graph):
+    """Broadcast-vector kernel path ≡ DataFrame path (allclose 1e-12) —
+    including dangling vertices and non-dense ids."""
+    from graphsetintersection_spark.operators.pagerank import pagerank_kernel
+
+    pairs, df = tiny_graph
+    # shift ids so they are NOT dense 0..V-1 (exercises the relabel)
+    shifted = df.selectExpr("src * 7 + 100 as src", "dst * 7 + 100 as dst")
+    r_df = pagerank(shifted, max_iter=8, tol=None)
+    r_k = pagerank_kernel(shifted, max_iter=8)
+    a = {r["v"]: r["rank"] for r in r_df.ranks.collect()}
+    b = {r["v"]: r["rank"] for r in r_k.ranks.collect()}
+    assert set(a) == set(b)
+    assert max(abs(a[v] - b[v]) for v in a) < 1e-12
+
+
+def test_pagerank_kernel_dangling_and_tol(spark):
+    from graphsetintersection_spark.operators.pagerank import pagerank_kernel
+
+    # 0→1→2, 2 dangling; plus isolated pair 3→4
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "src long, dst long"
+    )
+    r_df = pagerank(df, max_iter=30, tol=None)
+    r_k = pagerank_kernel(df, max_iter=30, tol=1e-14)
+    a = {r["v"]: r["rank"] for r in r_df.ranks.collect()}
+    b = {r["v"]: r["rank"] for r in r_k.ranks.collect()}
+    assert max(abs(a[v] - b[v]) for v in a) < 1e-9
+    assert abs(sum(b.values()) - 1.0) < 1e-9
