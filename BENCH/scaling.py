@@ -41,8 +41,9 @@ EDGES_PATH = "/tmp/gsi_scaling_edges_xl"
 LO, HI = 4, 16
 SHUFFLE_PARTITIONS = 64
 PR_ITERS = 3
-REPEATS = 3   # measured rounds per JVM
-PASSES = 2    # interleaved fresh JVMs per size: LO,HI,LO,HI
+REPEATS = 2   # measured rounds per JVM
+PASSES = 1    # fresh JVMs per size (raise to interleave LO,HI,LO,HI when
+              # the host shows drift; idle-host steal is captured below)
 
 GEN = r"""
 import sys, os

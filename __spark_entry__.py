@@ -136,6 +136,17 @@ def _q_pagerank(spark, sf_dir):
     )
 
 
+def _q_pagerank_kernel(spark, sf_dir):
+    """The broadcast-vector numpy kernel path, checked against the SAME
+    unrolled-SQL oracle as the DataFrame path."""
+    from graphsetintersection_spark.operators.pagerank import pagerank_kernel
+
+    res = pagerank_kernel(_lgraph(spark, sf_dir), alpha=PR_ALPHA, max_iter=PR_ITERS)
+    return res.ranks.select(
+        "v", F.round(F.col("rank") * 1e6, 0).cast("long").alias("rank_ppm")
+    )
+
+
 def _q_connected_components(spark, sf_dir):
     from graphsetintersection_spark.operators.components import (
         connected_components_starcontraction,
@@ -325,6 +336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": _q_triangle_count,
         "triangles_per_edge": _q_triangles_per_edge,
         "pagerank": _q_pagerank,
+        "pagerank_kernel": _q_pagerank_kernel,
         "connected_components": _q_connected_components,
         "label_propagation": _q_label_propagation,
         "subgraph_match_triangle": _q_subgraph_match_triangle,
@@ -772,6 +784,7 @@ join lab l2 on l2.v = e2.w and l2.label = 2
 where e1.u <> e2.w
 """,
         "pagerank": _pagerank_oracle_sql(),
+        "pagerank_kernel": _pagerank_oracle_sql(),
         "connected_components": f"""
 with recursive edges as ({_SGRAPH_EDGES}),
 und as (select src as u, dst as w from edges union select dst, src from edges),

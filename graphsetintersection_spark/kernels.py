@@ -144,6 +144,25 @@ def bsr_intersect_count(
     return int(_popcount(states_a[ia] & states_b[ib]).sum())
 
 
+def bsr_merge_one(
+    bases: np.ndarray, states: np.ndarray, v: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Insert one element into a BSR list (reference bp_merge_one,
+    set_operation.cpp:1207-1232 — the clique search's incremental P/X
+    update). Returns new (bases, states); input arrays are not mutated."""
+    base = np.int64(v) >> PACK_SHIFT
+    bit = np.int64(1) << (np.int64(v) & np.int64(PACK_WIDTH - 1))
+    idx = int(np.searchsorted(bases, base))
+    if idx < len(bases) and bases[idx] == base:
+        out_states = states.copy()
+        out_states[idx] |= bit
+        return bases, out_states
+    return (
+        np.insert(bases, idx, base),
+        np.insert(states, idx, bit),
+    )
+
+
 def bsr_intersect(
     bases_a: np.ndarray, states_a: np.ndarray,
     bases_b: np.ndarray, states_b: np.ndarray,

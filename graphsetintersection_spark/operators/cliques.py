@@ -136,6 +136,7 @@ def degeneracy_order_distributed(
         peel = deg.where(F.col("d") == dmin).select("v").localCheckpoint(eager=True)
         w_df = peel.withColumn("wave", F.lit(wave))
         waves = w_df if waves is None else waves.unionByName(w_df)
+        old_remaining, old_cur = remaining, cur
         remaining = remaining.join(peel, "v", "left_anti").localCheckpoint(eager=True)
         cur = (
             cur.join(peel.withColumnRenamed("v", "src"), "src", "left_anti")
@@ -143,6 +144,10 @@ def degeneracy_order_distributed(
             .select("src", "dst")
             .localCheckpoint(eager=True)
         )
+        # previous wave's remaining/cur snapshots are superseded; the peel
+        # frames stay — `waves` references every wave's rows until the end
+        old_remaining.unpersist()
+        old_cur.unpersist()
         deg.unpersist()
         wave += 1
     # cap hit: leftovers appended as one final wave (degree-order family)
@@ -151,6 +156,9 @@ def degeneracy_order_distributed(
     order = global_order_stats(
         waves, [F.col("wave").asc(), F.col("v").asc()], rank_col="rank"
     ).select("v", "rank")
+    # global_order_stats materialized its own cache; drop the peel state
+    remaining.unpersist()
+    cur.unpersist()
     return order, degeneracy
 
 

@@ -59,6 +59,7 @@ def connected_components_minlabel(
 
     converged = False
     rounds = start
+    prev_snapshot: DataFrame | None = None  # superseded localCheckpoint
     for rounds in range(start, max_rounds):
         # min over incoming neighbor labels (und has both directions)
         nbr_min = (
@@ -84,6 +85,9 @@ def connected_components_minlabel(
             )
         else:
             new_labels = new_labels.localCheckpoint(eager=True)
+        if prev_snapshot is not None:
+            prev_snapshot.unpersist()
+        prev_snapshot = new_labels if checkpointer is None else None
         labels = new_labels
         if changed == 0:
             converged = True
@@ -163,6 +167,7 @@ def connected_components_starcontraction(
         return int(r["n"]), int(r["chk"])
 
     sig_old = _signature(pairs)
+    prev_snapshot: DataFrame | None = None  # superseded localCheckpoint
     for rounds in range(start, max_rounds):
         # large-star operates on symmetric neighborhoods (Kiveris alg. 2);
         # its output edges always point larger→smaller, which is exactly
@@ -179,16 +184,22 @@ def connected_components_starcontraction(
             )
         ls = _large_star(sym)
         ss = _small_star(ls)
-        new_pairs = ss.persist()
-        sig_new = _signature(new_pairs)
+        staged = ss.persist()
+        sig_new = _signature(staged)
         delta = 0 if sig_new == sig_old else max(abs(sig_new[0] - sig_old[0]), 1)
         sig_old = sig_new
         if checkpointer is not None:
             new_pairs = checkpointer.commit(
-                new_pairs, rounds, metrics={"delta_edges": int(delta)}
+                staged, rounds, metrics={"delta_edges": int(delta)}
             )
         else:
-            new_pairs = new_pairs.localCheckpoint(eager=True)
+            new_pairs = staged.localCheckpoint(eager=True)
+        # the staging persist and the previous round's snapshot are both
+        # superseded once new_pairs is materialized
+        staged.unpersist()
+        if prev_snapshot is not None:
+            prev_snapshot.unpersist()
+        prev_snapshot = new_pairs if checkpointer is None else None
         pairs = new_pairs
         if delta == 0:
             converged = True

@@ -73,6 +73,7 @@ def label_propagation(
 
     converged = False
     rounds = start
+    prev_snapshot: DataFrame | None = None  # superseded localCheckpoint
     for rounds in range(start, max_rounds):
         new_labels = lpa_round(und, labels, verts)
         changed = None
@@ -90,6 +91,10 @@ def label_propagation(
             )
         else:
             new_labels = new_labels.localCheckpoint(eager=True)
+        # the previous round's localCheckpoint blocks are superseded
+        if prev_snapshot is not None:
+            prev_snapshot.unpersist()
+        prev_snapshot = new_labels if checkpointer is None else None
         labels = new_labels
         if changed == 0:
             converged = True

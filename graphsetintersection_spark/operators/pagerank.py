@@ -165,10 +165,14 @@ def pagerank_df_prepare(
         e_deg = e_deg.join(F.broadcast(hub_dsts), "dst", "left").withColumn(
             "_hub", F.coalesce(F.col("_hub"), F.lit(False))
         )
-    e_deg = (
-        e_deg.repartition("dst" if broadcast_ranks else "src")
-        .persist()
-    )
+    if broadcast_ranks:
+        e_deg = e_deg.repartition("dst")
+    else:
+        # shuffle path: cache hash(src)-partitioned AND src-sorted so the
+        # per-iteration sort-merge join sorts only the (small) rank side —
+        # the cached edge side satisfies the SMJ ordering for free
+        e_deg = e_deg.repartition("src").sortWithinPartitions("src")
+    e_deg = e_deg.persist()
     if n:
         e_deg.count()  # materialize once
     return PreparedDFGraph(verts, n, e_deg, broadcast_ranks, salt_s)

@@ -190,6 +190,8 @@ def bfs_order(edges: DataFrame, max_levels: int = 64) -> DataFrame:
 
     levels = spark.createDataFrame([(root, 0)], "v long, level int")
     frontier = levels
+    prev_levels: DataFrame | None = None
+    prev_frontier: DataFrame | None = None
     for lvl in range(1, max_levels + 1):
         nxt = (
             frontier.join(edges.withColumnRenamed("src", "v"), "v")
@@ -200,8 +202,15 @@ def bfs_order(edges: DataFrame, max_levels: int = 64) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         if nxt.isEmpty():
+            nxt.unpersist()
             break
         levels = levels.unionByName(nxt).localCheckpoint(eager=True)
+        # the previous round's level/frontier snapshots are superseded
+        if prev_levels is not None:
+            prev_levels.unpersist()
+        if prev_frontier is not None:
+            prev_frontier.unpersist()
+        prev_levels, prev_frontier = levels, nxt
         frontier = nxt
 
     ranked = deg.join(levels, "v", "left").select(
@@ -214,7 +223,13 @@ def bfs_order(edges: DataFrame, max_levels: int = 64) -> DataFrame:
         [F.col("level").asc(), F.col("deg").desc(), F.col("v").asc()],
         rank_col="new_id",
     )
+    # global_order_stats has materialized its own cache of the ranked rows;
+    # the BFS working frames can go
     deg.unpersist()
+    if prev_levels is not None:
+        prev_levels.unpersist()
+    if prev_frontier is not None:
+        prev_frontier.unpersist()
     return out.select(F.col("v").alias("org_id"), "new_id")
 
 

@@ -75,6 +75,93 @@ def start_edge_sink(
     )
 
 
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start long, session_end long, n_events long"
+)
+_SESSION_STATE_SCHEMA = "start long, last long, n long"
+
+
+def stream_sessionize(
+    events_stream: DataFrame,
+    gap_min: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stateful streaming sessionization — the custom stateful operator
+    path (``applyInPandasWithState``): per user, events within
+    ``gap_min`` minutes of each other share a session; a session CLOSES
+    (and is emitted) when a later event arrives past the gap or when the
+    event-time watermark passes its end + gap (timeout). The per-user open
+    session lives in the state store across micro-batches, so restarts
+    resume exactly.
+
+    Same semantics as the batch sessionizer (__spark_entry__
+    event_sessionize) restricted to CLOSED sessions. Epoch seconds in the
+    output keep the comparison engine-neutral."""
+    import pandas as pd  # noqa: F401  (worker-side import)
+
+    gap = gap_min * 60
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        user_id = key[0]
+        if state.hasTimedOut:
+            if state.exists:
+                s, last, n = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {"user_id": [user_id], "session_start": [s],
+                     "session_end": [last], "n_events": [n]}
+                )
+            return
+
+        ts: list[int] = []
+        for pdf in pdfs:
+            es = (pdf["ts"].astype("int64") // 1_000_000_000).tolist()
+            ts.extend(int(x) for x in es)
+        ts.sort()
+        if state.exists:
+            s, last, n = state.get
+        else:
+            s, last, n = None, None, 0
+        closed = []
+        for e in ts:
+            if last is None:
+                s, last, n = e, e, 1
+            elif e - last > gap:
+                closed.append((s, last, n))
+                s, last, n = e, e, 1
+            else:
+                last = e
+                n += 1
+        if last is None:  # no events and no prior state
+            return
+        state.update((int(s), int(last), int(n)))
+        # close by event-time timeout once the watermark passes last + gap
+        state.setTimeoutTimestamp((int(last) + gap) * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [c[0] for c in closed],
+                    "session_end": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            SESSION_OUT_SCHEMA,
+            _SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )
+
+
 def stream_link_rates(
     edges_stream: DataFrame,
     window: str = "10 minutes",

@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--pages", help="path of the pages table (parquet)")
+    p.add_argument("--pages", help="pages table: Iceberg/catalog name or parquet path")
     p.add_argument("--synthetic", type=int, default=0,
                    help="generate N synthetic pages instead of --pages")
     p.add_argument("--out", required=True, help="output directory")
@@ -39,6 +39,11 @@ def main() -> None:
     p.add_argument("--run-id", default="run")
     p.add_argument("--pr-iters", type=int, default=20)
     p.add_argument("--pr-tol", type=float, default=1e-8)
+    p.add_argument("--pr-engine", choices=("dataframe", "kernel"),
+                   default="dataframe",
+                   help="dataframe: checkpointable/resumable shuffle plan; "
+                        "kernel: broadcast-vector numpy path (V must fit "
+                        "in executor memory)")
     args = p.parse_args()
 
     from pyspark.sql import functions as F
@@ -58,7 +63,9 @@ def main() -> None:
     if args.synthetic:
         pages = generate_pages(spark, args.synthetic, seed=42)
     elif args.pages:
-        pages = spark.read.parquet(args.pages)
+        from graphsetintersection_spark.sources.pages import read_pages
+
+        pages = read_pages(spark, args.pages)
     else:
         p.error("one of --pages / --synthetic is required")
 
@@ -88,11 +95,18 @@ def main() -> None:
         report["triangles_sec"] = round(time.perf_counter() - t0, 2)
 
     if "pagerank" in algos:
-        from graphsetintersection_spark.operators.pagerank import pagerank
+        from graphsetintersection_spark.operators.pagerank import (
+            pagerank,
+            pagerank_kernel,
+        )
 
         t0 = time.perf_counter()
-        res = pagerank(edges, max_iter=args.pr_iters, tol=args.pr_tol,
-                       checkpointer=ck("pagerank"))
+        if args.pr_engine == "kernel":
+            res = pagerank_kernel(edges, max_iter=args.pr_iters,
+                                  tol=args.pr_tol)
+        else:
+            res = pagerank(edges, max_iter=args.pr_iters, tol=args.pr_tol,
+                           checkpointer=ck("pagerank"))
         res.ranks.write.mode("overwrite").parquet(
             os.path.join(args.out, "pagerank")
         )

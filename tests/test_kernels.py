@@ -61,6 +61,21 @@ def test_bsr_roundtrip_and_intersect(length, skew, select, dense):
     assert np.array_equal(K.from_bsr(rb, rs), oracle)
 
 
+def test_bsr_merge_one():
+    rng = np.random.default_rng(5)
+    a = np.unique(rng.integers(0, 500, 60)).astype(np.int64)
+    ba, sa = K.to_bsr(a)
+    for v in (0, 63, 64, 499, 257):
+        nb, ns = K.bsr_merge_one(ba, sa, int(v))
+        assert np.array_equal(
+            K.from_bsr(nb, ns), np.union1d(a, [v])
+        ), f"merge_one failed for {v}"
+    # idempotent on existing member
+    v0 = int(a[0])
+    nb, ns = K.bsr_merge_one(ba, sa, v0)
+    assert np.array_equal(K.from_bsr(nb, ns), a)
+
+
 def test_visited_bitmap_ops():
     visited = np.zeros(100, dtype=bool)
     visited[[2, 3, 50]] = True

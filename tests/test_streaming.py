@@ -103,3 +103,55 @@ def test_windowed_link_rates(spark, tmp_path):
     batch_total = extract_links(spark.read.parquet(pages_dir)).count()
     # sliding windows double-count by design (window/slide = 2)
     assert total == 2 * batch_total
+
+
+def test_stateful_stream_sessionize(spark, tmp_path):
+    """applyInPandasWithState sessionization: closed sessions emitted,
+    open session held in state; closed output matches the batch
+    sessionizer's closed prefix."""
+    import datetime as dt
+
+    from graphsetintersection_spark.streaming.ingest import stream_sessionize
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def t(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    # watermark after the batch = t(62) - 10min = t(52)
+    # user 1: session A (0,5,10) closed by the later event at t(60);
+    #         session B (60,62) has timeout t(92) > watermark → stays open
+    # user 2: session (0,1) has timeout t(31) < watermark → closed by
+    #         EVENT-TIME TIMEOUT in the follow-up micro-batch and emitted
+    rows = [
+        (1, t(0)), (1, t(5)), (1, t(10)), (1, t(60)), (1, t(62)),
+        (2, t(0)), (2, t(1)),
+    ]
+    events_dir = str(tmp_path / "events")
+    spark.createDataFrame(rows, "user_id long, ts timestamp").write.parquet(
+        events_dir
+    )
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .parquet(events_dir)
+    )
+    sessions = stream_sessionize(stream, gap_min=30, watermark="10 minutes")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("select * from sess").collect()
+    )
+    epoch = int(base.replace(tzinfo=dt.timezone.utc).timestamp())
+    assert got == [
+        (1, epoch, epoch + 600, 3),      # closed by gap
+        (2, epoch, epoch + 60, 2),       # closed by event-time timeout
+    ]
