@@ -573,16 +573,20 @@ from s group by user_id, session_idx
 
 
 # Polynomial rolling hash h = Σ ascii(c_i)·B^(i-1) mod M as a list_reduce
-# fold. DuckDB's list_reduce has no initial accumulator, so the (h, p)
+# fold over the same FIXED PREFIX the engine caps at
+# (functions.text.FINGERPRINT_MAX_CHARS — O(len) per-row cost bounded).
+# DuckDB's list_reduce has no initial accumulator, so the (h, p)
 # state is packed into one bigint as h + p*M (max < M^2 ≈ 1e18 < 2^63) and
 # a prepended sentinel M encodes the initial state (h=0, p=1).
-_M = 1_000_000_007  # functions.text.FINGERPRINT_MOD
-_B = 31             # functions.text.FINGERPRINT_BASE
+_M = 1_000_000_007   # functions.text.FINGERPRINT_MOD
+_B = 31              # functions.text.FINGERPRINT_BASE
+_FP_CAP = 4096       # functions.text.FINGERPRINT_MAX_CHARS
 _FINGERPRINT_SQL = f"""
 select doc_id,
   list_reduce(
     list_prepend(cast({_M} as bigint),
-      list_transform(generate_series(1, length(text)), i -> cast(i as bigint))),
+      list_transform(generate_series(1, least(length(text), {_FP_CAP})),
+                     i -> cast(i as bigint))),
     (acc, i) ->
       ((acc % {_M} + ascii(substr(text, cast(i as int), 1)) * (acc // {_M})) % {_M})
       + (((acc // {_M}) * {_B}) % {_M}) * {_M}

@@ -64,25 +64,52 @@ def main() -> None:
     li_rows = read_table(spark, SF_DIR, "lineitem").count()
     n_pages = max(2000, li_rows // 30)
 
-    # ---- pages → edges → degree relabel (the ingest pipeline)
+    # ---- pages → edges → degree relabel (the ingest pipeline). The
+    # degree frame is computed ONCE and shared (degree_order reuses it; it
+    # stays cached for the comparative ordering runs below).
+    from graphsetintersection_spark.operators.edges import degrees
+
+    state = {}
+
     def build_graph():
         pages = generate_pages(spark, n_pages, avg_links=12.0, seed=42)
-        edges = link_edges(pages)
-        order = degree_order(edges)
+        edges = link_edges(pages).persist()
+        deg = degrees(edges).persist()
+        order = degree_order(edges, deg=deg)
         relabeled = apply_order(edges, order).persist()
         n_edges = relabeled.count()
+        state["edges"], state["deg"] = edges, deg
         return relabeled, n_edges
 
     relabeled, n_edges = timed("pages_to_edges_relabel", build_graph)
+    edges_orig = state["edges"]
 
-    # ---- comp_ratio densification evidence (the reorder story):
-    # original ids vs degree relabel — lower is denser BSR packing
-    from graphsetintersection_spark.operators.relabel import comp_ratio
+    # ---- comp_ratio densification evidence (the reorder story,
+    # src/porder.cpp:295-351): original ids vs degree relabel vs BFS
+    # relabel — lower is denser BSR packing; the BSR-kernel TC times below
+    # show the packing paying off (reorder→densify→bit-pack).
+    from graphsetintersection_spark.operators.relabel import bfs_order, comp_ratio
 
     comp = {}
     t0 = time.perf_counter()
+    comp["original"] = round(comp_ratio(edges_orig), 4)
+    timings["comp_ratio_original"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
     comp["degree_relabeled"] = round(comp_ratio(relabeled), 4)
     timings["comp_ratio_relabeled"] = round(time.perf_counter() - t0, 3)
+
+    def build_bfs():
+        bo = bfs_order(edges_orig).select(
+            F.col("org_id"), F.col("new_id")
+        )
+        br = apply_order(edges_orig, bo).persist()
+        br.count()
+        return br
+
+    bfs_rel = timed("bfs_order_relabel", build_bfs)
+    t0 = time.perf_counter()
+    comp["bfs_relabeled"] = round(comp_ratio(bfs_rel), 4)
+    timings["comp_ratio_bfs"] = round(time.perf_counter() - t0, 3)
 
     # ---- triangle count (Arrow kernel) — north-rule throughput metric
     tri = timed("triangle_count_kernel", lambda: triangle_count_kernel(relabeled))
@@ -90,13 +117,24 @@ def main() -> None:
         n_edges / timings["triangle_count_kernel"], 1
     )
     timed("triangle_count_arrays", lambda: triangle_count_arrays(relabeled))
-    # BSR bit-packed kernel (the reference's BP path) on the SAME relabeled
-    # graph — parity asserted, wall time reported next to the uint kernel
+    # BSR bit-packed kernel (the reference's BP path) under each ordering —
+    # parity asserted, wall time correlates with the comp_ratio rows above
     tri_bsr = timed(
         "triangle_count_kernel_bsr",
         lambda: triangle_count_kernel(relabeled, kernel="bsr"),
     )
     assert tri_bsr == tri, "BSR kernel diverged from uint kernel"
+    tri_bsr_orig = timed(
+        "triangle_count_bsr_original",
+        lambda: triangle_count_kernel(edges_orig, kernel="bsr"),
+    )
+    assert tri_bsr_orig == tri, "BSR on original ids diverged"
+    tri_bsr_bfs = timed(
+        "triangle_count_bsr_bfs",
+        lambda: triangle_count_kernel(bfs_rel, kernel="bsr"),
+    )
+    assert tri_bsr_bfs == tri, "BSR on BFS relabel diverged"
+    bfs_rel.unpersist()
 
     # ---- PageRank iterations — north-rule throughput metric.
     # DataFrame path (checkpointable/resumable) and the broadcast-vector

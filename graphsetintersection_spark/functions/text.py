@@ -30,6 +30,12 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 FINGERPRINT_MOD = 1_000_000_007
 FINGERPRINT_BASE = 31
+# fingerprint a fixed prefix: the rolling hash is evaluated as an
+# ``aggregate`` over a per-row char sequence, whose cost (and transient
+# array) is O(prefix) — capped so MB-size pages can't allocate an O(len)
+# int array per row (VERDICT r2 #3). 4096 chars is plenty of entropy for a
+# dedup/bucketing fingerprint; the DuckDB oracle applies the same cap.
+FINGERPRINT_MAX_CHARS = 4096
 
 
 def _count_occurrences(text: Column, needle: str) -> Column:
@@ -118,13 +124,18 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return docs.select(F.col(id_col), pred.alias("lang_pred"))
 
 
-def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Polynomial rolling-hash fingerprint of the text:
+def fingerprint(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_chars: int = FINGERPRINT_MAX_CHARS,
+) -> DataFrame:
+    """Polynomial rolling-hash fingerprint of the first ``max_chars`` chars:
     h = Σ ascii(c_i)·B^i mod M, computed left-to-right with exact int64
     arithmetic — identical in any engine (SQL-oracle-checkable).
 
-    JVM-side via aggregate over the char sequence; no Python."""
-    t = F.col(text_col)
+    JVM-side via aggregate over the (capped) char sequence; no Python."""
+    t = F.substring(F.col(text_col), 1, max_chars)
     h = F.aggregate(
         F.sequence(F.lit(1), F.length(t)),
         F.struct(F.lit(0).cast("long").alias("h"), F.lit(1).cast("long").alias("p")),

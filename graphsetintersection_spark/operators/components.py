@@ -43,11 +43,35 @@ def connected_components_minlabel(
     edges: DataFrame,
     max_rounds: int = 50,
     checkpointer: CheckpointManager | None = None,
+    salt_hubs: str | int | None = "auto",
 ) -> ComponentsResult:
+    """Synchronous min-label propagation.
+
+    Convergence is detected with ONE aggregate per round — the
+    (count, bit_xor) content signature of the materialized label frame
+    (plans.skew.content_signature) — instead of a join of consecutive
+    label vectors (a full extra shuffle per round). ``salt_hubs`` enables
+    two-stage salted aggregation of the per-round neighbor-min for
+    Zipf-hub dst keys; "auto" probes skew only on graphs large enough for
+    it to matter (plans.skew.decide_hub_salting)."""
+    from graphsetintersection_spark.plans.skew import (
+        content_signature,
+        decide_hub_salting,
+        mark_hubs,
+        two_stage_agg,
+    )
+
     spark = edges.sparkSession
     und = symmetrize(canonicalize(edges)).persist()
-    und.count()
+    n_und = und.count()
     verts = vertices(und)
+
+    plan = None
+    if salt_hubs == "auto":
+        plan = decide_hub_salting(und, "dst", total_rows=n_und)
+    elif salt_hubs:
+        plan = decide_hub_salting(und, "dst", salts=int(salt_hubs), force=True)
+    und_j = mark_hubs(und, "dst", plan) if plan is not None else und
 
     labels = verts.select("v", F.col("v").alias("component"))
     start = 0
@@ -56,40 +80,53 @@ def connected_components_minlabel(
         if restored is not None:
             start, labels = restored
             start += 1
+    sig_old = content_signature(labels, "v", "component")
 
     converged = False
     rounds = start
     prev_snapshot: DataFrame | None = None  # superseded localCheckpoint
     for rounds in range(start, max_rounds):
-        # min over incoming neighbor labels (und has both directions)
-        nbr_min = (
-            und.join(labels.withColumnRenamed("v", "src"), "src")
-            .groupBy(F.col("dst").alias("v"))
-            .agg(F.min("component").alias("nbr_min"))
-        )
+        # min over incoming neighbor labels (und has both directions);
+        # min is map-side combinable, and hub dsts optionally pre-combine
+        # under salts so no single reducer owns a whole hub
+        joined = und_j.join(labels.withColumnRenamed("v", "src"), "src")
+        if plan is not None:
+            nbr_min = two_stage_agg(
+                joined.withColumnRenamed("dst", "v"),
+                ["v"],
+                F.min("component"),
+                F.min,
+                salt_from="src",
+                salts=plan.salts,
+                out_col="nbr_min",
+            )
+        else:
+            nbr_min = joined.groupBy(F.col("dst").alias("v")).agg(
+                F.min("component").alias("nbr_min")
+            )
         new_labels = labels.join(nbr_min, "v", "left").select(
             "v",
             F.least(
                 F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
             ).alias("component"),
         )
-        changed = (
-            new_labels.withColumnRenamed("component", "new_component")
-            .join(labels, "v")
-            .where(F.col("new_component") != F.col("component"))
-            .count()
-        )
+        # materialize FIRST (lineage truncation), then one aggregate over
+        # the materialized frame decides convergence — no per-round
+        # changed-count join-shuffle
+        if checkpointer is None:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        sig_new = content_signature(new_labels, "v", "component")
+        changed = sig_new != sig_old
+        sig_old = sig_new
         if checkpointer is not None:
             new_labels = checkpointer.commit(
-                new_labels, rounds, metrics={"changed": int(changed)}
+                new_labels, rounds, metrics={"changed": bool(changed)}
             )
-        else:
-            new_labels = new_labels.localCheckpoint(eager=True)
         if prev_snapshot is not None:
             prev_snapshot.unpersist()
-        prev_snapshot = new_labels if checkpointer is None else None
+        prev_snapshot = new_labels
         labels = new_labels
-        if changed == 0:
+        if not changed:
             converged = True
             rounds += 1
             break
@@ -157,16 +194,10 @@ def connected_components_starcontraction(
     # convergence signature: (row count, order-insensitive XOR checksum) of
     # the distinct parent set — ONE aggregate on the frame being
     # materialized anyway, replacing the exceptAll set-difference (a full
-    # extra shuffle per round). bit_xor of 64-bit hashes over a distinct
-    # set changing without the signature changing is vanishingly unlikely.
-    def _signature(df: DataFrame) -> tuple[int, int]:
-        r = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.expr("bit_xor(xxhash64(u, w))"), F.lit(0)).alias("chk"),
-        ).collect()[0]
-        return int(r["n"]), int(r["chk"])
+    # extra shuffle per round). Shared helper: plans.skew.content_signature.
+    from graphsetintersection_spark.plans.skew import content_signature
 
-    sig_old = _signature(pairs)
+    sig_old = content_signature(pairs, "u", "w")
     prev_snapshot: DataFrame | None = None  # superseded localCheckpoint
     for rounds in range(start, max_rounds):
         # large-star operates on symmetric neighborhoods (Kiveris alg. 2);
@@ -185,7 +216,7 @@ def connected_components_starcontraction(
         ls = _large_star(sym)
         ss = _small_star(ls)
         staged = ss.persist()
-        sig_new = _signature(staged)
+        sig_new = content_signature(staged, "u", "w")
         delta = 0 if sig_new == sig_old else max(abs(sig_new[0] - sig_old[0]), 1)
         sig_old = sig_new
         if checkpointer is not None:

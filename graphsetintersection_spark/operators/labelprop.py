@@ -9,21 +9,36 @@ result is exactly reproducible and exactly comparable):
                      vertices with no neighbors keep their label.
 
 Each round: one join (labels onto edges) + one count aggregate + one
-row_number window partitioned by vertex — all shuffle-on-v, map-side
-combinable. Deterministic tie-break makes the fixpoint (or the state after
-a fixed number of rounds) exactly equal across engines, which is what the
-DuckDB oracle checks. Checkpoint/resume identical to PageRank.
+max-struct aggregate — every aggregate map-side combinable (the argmax is
+``max(struct(cnt, -label))``, NOT a row_number window: a hub's window
+partition would sort all its distinct neighbor labels on one reducer,
+while the partial-max combines everywhere). Zipf-hub dst keys optionally
+pre-combine under salts (plans.skew two-stage aggregation — the north
+rule's "salted high-degree hubs"). Deterministic tie-break makes the
+fixpoint (or the state after a fixed number of rounds) exactly equal
+across engines, which is what the DuckDB oracle checks.
+
+Early-stop convergence uses the one-aggregate content signature of the
+materialized label frame (plans.skew.content_signature) — no per-round
+changed-count join. Checkpoint/resume identical to PageRank.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphsetintersection_spark.operators.edges import canonicalize, symmetrize, vertices
 from graphsetintersection_spark.plans.checkpoint import CheckpointManager
+from graphsetintersection_spark.plans.skew import (
+    HubSaltPlan,
+    content_signature,
+    decide_hub_salting,
+    mark_hubs,
+    two_stage_agg,
+)
 
 
 @dataclass
@@ -33,21 +48,38 @@ class LabelPropResult:
     converged: bool
 
 
-def lpa_round(und: DataFrame, labels: DataFrame, verts: DataFrame) -> DataFrame:
-    """One synchronous LPA round over the symmetrized edge set."""
+def lpa_round(
+    und: DataFrame,
+    labels: DataFrame,
+    verts: DataFrame,
+    salt_plan: HubSaltPlan | None = None,
+) -> DataFrame:
+    """One synchronous LPA round over the symmetrized edge set. ``und``
+    must carry a ``_hub`` column when ``salt_plan`` is given (mark_hubs)."""
     nbr_labels = und.join(
         labels.withColumnRenamed("v", "src"), "src"
-    ).select(F.col("dst").alias("v"), "label")
-    counts = nbr_labels.groupBy("v", "label").agg(F.count("*").alias("cnt"))
-    w = Window.partitionBy("v").orderBy(F.col("cnt").desc(), F.col("label").asc())
-    best = (
-        counts.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("v", "label")
+    ).withColumnRenamed("dst", "v")
+    if salt_plan is not None:
+        counts = two_stage_agg(
+            nbr_labels,
+            ["v", "label"],
+            F.count("*"),
+            F.sum,
+            salt_from="src",
+            salts=salt_plan.salts,
+            out_col="cnt",
+        )
+    else:
+        counts = nbr_labels.groupBy("v", "label").agg(F.count("*").alias("cnt"))
+    # argmax with (cnt desc, label asc) tie-break as ONE combinable
+    # aggregate: max over struct(cnt, -label) — labels are non-negative
+    # vertex ids, so -label inverts the order safely in int64
+    best = counts.groupBy("v").agg(
+        F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("m")
+    ).select("v", (-F.col("m.neg")).alias("new_label"))
+    return verts.join(best, "v", "left").join(labels, "v").select(
+        "v", F.coalesce("new_label", "label").alias("label")
     )
-    return verts.join(best.withColumnRenamed("label", "new_label"), "v", "left").join(
-        labels, "v"
-    ).select("v", F.coalesce("new_label", "label").alias("label"))
 
 
 def label_propagation(
@@ -55,13 +87,23 @@ def label_propagation(
     max_rounds: int = 10,
     fixed_rounds: bool = True,
     checkpointer: CheckpointManager | None = None,
+    salt_hubs: str | int | None = "auto",
 ) -> LabelPropResult:
     """``fixed_rounds=True`` runs exactly ``max_rounds`` rounds (oracle
-    parity mode — LPA need not converge); False stops early at fixpoint."""
+    parity mode — LPA need not converge); False stops early at fixpoint.
+    ``salt_hubs``: "auto" probes for Zipf-hub skew on graphs large enough
+    for it to matter; an int forces that salt count; None disables."""
     spark = edges.sparkSession
     und = symmetrize(canonicalize(edges)).persist()
-    und.count()
+    n_und = und.count()
     verts = vertices(und).persist()
+
+    plan = None
+    if salt_hubs == "auto":
+        plan = decide_hub_salting(und, "dst", total_rows=n_und)
+    elif salt_hubs:
+        plan = decide_hub_salting(und, "dst", salts=int(salt_hubs), force=True)
+    und_j = mark_hubs(und, "dst", plan) if plan is not None else und
 
     labels = verts.select("v", F.col("v").alias("label"))
     start = 0
@@ -70,33 +112,33 @@ def label_propagation(
         if restored is not None:
             start, labels = restored
             start += 1
+    sig_old = content_signature(labels, "v", "label") if not fixed_rounds else None
 
     converged = False
     rounds = start
     prev_snapshot: DataFrame | None = None  # superseded localCheckpoint
     for rounds in range(start, max_rounds):
-        new_labels = lpa_round(und, labels, verts)
+        new_labels = lpa_round(und_j, labels, verts, salt_plan=plan)
+        if checkpointer is None:
+            new_labels = new_labels.localCheckpoint(eager=True)
         changed = None
         if not fixed_rounds:
-            changed = (
-                new_labels.withColumnRenamed("label", "nl")
-                .join(labels, "v")
-                .where(F.col("nl") != F.col("label"))
-                .count()
-            )
+            # one aggregate over the (materialized) frame — no join-shuffle
+            sig_new = content_signature(new_labels, "v", "label")
+            changed = sig_new != sig_old
+            sig_old = sig_new
         if checkpointer is not None:
             new_labels = checkpointer.commit(
                 new_labels, rounds,
-                metrics={"changed": int(changed) if changed is not None else None},
+                metrics={"changed": bool(changed) if changed is not None else None},
             )
-        else:
-            new_labels = new_labels.localCheckpoint(eager=True)
-        # the previous round's localCheckpoint blocks are superseded
+        # the previous round's snapshot is superseded (unpersist is a no-op
+        # on committed parquet-backed frames)
         if prev_snapshot is not None:
             prev_snapshot.unpersist()
-        prev_snapshot = new_labels if checkpointer is None else None
+        prev_snapshot = new_labels
         labels = new_labels
-        if changed == 0:
+        if changed is False:
             converged = True
             rounds += 1
             break

@@ -137,34 +137,22 @@ def pagerank_df_prepare(
 
     # salted-hub decision (shuffle path only): mark dst vertices whose
     # in-degree dominates; their contribution rows are pre-aggregated
-    # under S salts so no single reducer sums a whole hub alone.
-    salt_s: int | None = None
-    hub_dsts = None
-    if not broadcast_ranks and salt_hubs and n:
-        from graphsetintersection_spark.operators.relabel import (
-            hub_degree_threshold,
-        )
+    # under S salts so no single reducer sums a whole hub alone. Shared
+    # probe/marking with CC and LPA: plans.skew.
+    from graphsetintersection_spark.plans.skew import decide_hub_salting, mark_hubs
 
-        in_deg = e.groupBy("dst").agg(F.count("*").alias("deg"))
+    salt_s: int | None = None
+    plan = None
+    if not broadcast_ranks and salt_hubs and n:
         if salt_hubs == "auto":
-            r = in_deg.agg(
-                F.max("deg").alias("mx"), F.avg("deg").alias("av")
-            ).collect()[0]
-            if r["mx"] and r["mx"] >= 1024 and r["mx"] >= 16 * (r["av"] or 1.0):
-                salt_s = 16
+            plan = decide_hub_salting(e, "dst")
         else:
-            salt_s = int(salt_hubs)
-        if salt_s:
-            t = hub_degree_threshold(in_deg, 0.25)
-            hub_dsts = in_deg.where(F.col("deg") >= t).select(
-                "dst", F.lit(True).alias("_hub")
-            )
+            plan = decide_hub_salting(e, "dst", salts=int(salt_hubs), force=True)
+        salt_s = plan.salts if plan is not None else None
 
     e_deg = e.join(out_deg.withColumnRenamed("v", "src"), "src")
-    if hub_dsts is not None:
-        e_deg = e_deg.join(F.broadcast(hub_dsts), "dst", "left").withColumn(
-            "_hub", F.coalesce(F.col("_hub"), F.lit(False))
-        )
+    if plan is not None:
+        e_deg = mark_hubs(e_deg, "dst", plan)
     if broadcast_ranks:
         e_deg = e_deg.repartition("dst")
     else:
@@ -220,21 +208,21 @@ def pagerank_df_iterate(
         joined = e_deg.join(ranks_src, "src")
         term = F.col("rank") / F.col("out_deg")
         if salt_s:
-            # two-stage salted aggregation: hub dst rows split across
-            # salt_s sub-keys (deterministic salt from src) so the first
-            # shuffle spreads each hub over S reducers; the second stage
-            # sums at most S rows per hub.
-            stage1 = joined.groupBy(
-                "dst",
-                F.when(
-                    F.col("_hub"), F.pmod(F.xxhash64("src"), F.lit(salt_s))
-                ).otherwise(F.lit(0)).alias("_salt"),
-            ).agg(F.sum(term).alias("_c"))
-            contribs = (
-                stage1.groupBy(F.col("dst").alias("v"))
-                .agg(F.sum("_c").alias("contrib"))
-                .persist()
-            )
+            # two-stage salted aggregation (plans.skew.two_stage_agg): hub
+            # dst rows split across salt_s sub-keys (deterministic salt
+            # from src) so the first shuffle spreads each hub over S
+            # reducers; the second stage sums at most S rows per hub.
+            from graphsetintersection_spark.plans.skew import two_stage_agg
+
+            contribs = two_stage_agg(
+                joined.withColumnRenamed("dst", "v"),
+                ["v"],
+                F.sum(term),
+                F.sum,
+                salt_from="src",
+                salts=salt_s,
+                out_col="contrib",
+            ).persist()
         else:
             contribs = (
                 joined.groupBy(F.col("dst").alias("v"))
@@ -294,11 +282,15 @@ def pagerank_df_iterate(
 
         # new_ranks is now self-contained; the contribs cache can go, and
         # the PREVIOUS iteration's localCheckpoint blocks are superseded —
-        # drop them so long runs don't accumulate cached rank snapshots
+        # drop them so long runs don't accumulate cached rank snapshots.
+        # Tracked for EVERY iteration (also the non-commit ones between
+        # sparse checkpoints — checkpoint_every > 1 would otherwise leak a
+        # localCheckpoint per skipped commit); unpersist on a durable
+        # commit's read-back frame is a harmless no-op.
         contribs.unpersist()
         if prev_snapshot is not None:
             prev_snapshot.unpersist()
-        prev_snapshot = new_ranks if checkpointer is None else None
+        prev_snapshot = new_ranks
         ranks = new_ranks
         if tol is not None and delta is not None and delta < tol:
             converged = True

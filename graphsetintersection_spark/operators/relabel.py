@@ -34,7 +34,9 @@ from graphsetintersection_spark.operators.edges import degrees
 from graphsetintersection_spark.plans.assign import global_order_stats
 
 
-def degree_order(edges: DataFrame, descending: bool = True) -> DataFrame:
+def degree_order(
+    edges: DataFrame, descending: bool = True, deg: DataFrame | None = None
+) -> DataFrame:
     """Permutation (org_id, new_id): new ids assigned by total degree
     (desc by default), ties broken by original id for determinism.
     Reference deg_desc_order / deg_order (src/porder.cpp:445-495).
@@ -44,8 +46,11 @@ def degree_order(edges: DataFrame, descending: bool = True) -> DataFrame:
 
     Distributed: two-phase range-shuffle id assignment
     (plans.assign.global_order_stats), no single-reducer global window.
+    ``deg`` (a (v, deg) frame) lets callers that already computed — and
+    ideally persisted — the degree table share it instead of recomputing.
     """
-    deg = degrees(edges)
+    if deg is None:
+        deg = degrees(edges)
     order_cols = (
         [F.col("deg").desc(), F.col("v").asc()]
         if descending
@@ -121,13 +126,17 @@ def comp_ratio(edges: DataFrame, pack_shift: int = PACK_SHIFT) -> float:
     return float(row["b"]) / float(row["e"]) if row["e"] else 0.0
 
 
-def select_bignode(edges: DataFrame, deg_ratio: float = 0.3) -> DataFrame:
+def select_bignode(
+    edges: DataFrame, deg_ratio: float = 0.3, deg: DataFrame | None = None
+) -> DataFrame:
     """Smallest set of highest-degree vertices covering ``deg_ratio`` of
     total degree (reference src/porder.cpp:353-392). Returns
     (v, deg, cum_deg). Used to pick the hub set for adjacency broadcast
     and salted aggregation. The cumulative degree is computed with the
-    two-phase distributed prefix sum, not a global window."""
-    deg = degrees(edges)
+    two-phase distributed prefix sum, not a global window. ``deg`` shares
+    a caller-computed degree table (same contract as degree_order)."""
+    if deg is None:
+        deg = degrees(edges)
     total = deg.agg(F.sum("deg")).collect()[0][0] or 0
     ranked = global_order_stats(
         deg,
@@ -180,7 +189,8 @@ def bfs_order(edges: DataFrame, max_levels: int = 64) -> DataFrame:
     reference's order is its sequential queue order — here the
     deterministic (deg desc, v) tie-break, same locality class. Vertices
     unreachable from the root (the reference restarts BFS per component,
-    :548-563) are appended after all reached levels in degree order."""
+    :548-563) are appended after all reached levels as one final wave,
+    ordered by the same (deg desc, v asc) tie-break."""
     spark = edges.sparkSession
     deg = degrees(edges).persist()
     root_row = deg.orderBy(F.col("deg").desc(), F.col("v").asc()).first()
@@ -223,8 +233,9 @@ def bfs_order(edges: DataFrame, max_levels: int = 64) -> DataFrame:
         [F.col("level").asc(), F.col("deg").desc(), F.col("v").asc()],
         rank_col="new_id",
     )
-    # global_order_stats has materialized its own cache of the ranked rows;
-    # the BFS working frames can go
+    # global_order_stats returned an EAGERLY MATERIALIZED frame (its
+    # contract) — the BFS working localCheckpoints are no longer referenced
+    # by any recomputable lineage and can be dropped safely
     deg.unpersist()
     if prev_levels is not None:
         prev_levels.unpersist()

@@ -79,18 +79,26 @@ def _join_adj(e: DataFrame, adj: DataFrame, key: str, out: str,
 
 
 AUTO_HUB_RATIO = 0.25
+# below this many total adjacency entries (= oriented edges) the skewed
+# shuffle a hub split would prevent doesn't exist — the whole joined frame
+# fits in a handful of partitions. Small inputs skip the split (and its
+# persist) entirely; this is a scale optimization, not a semantics switch.
+AUTO_HUB_MIN_EDGES = 5_000_000
 
 
 def _auto_hub_ratio(adj: DataFrame) -> float | None:
-    """Decide whether the broadcast-hub split pays: on iff the max degree
-    dominates the mean (Zipf-style skew) and the hub lists are big enough
-    that a skewed shuffle matters. One small aggregate."""
+    """Decide whether the broadcast-hub split pays: on iff the graph is big
+    enough that a skewed shuffle matters AND the max degree dominates the
+    mean (Zipf-style skew). One small aggregate."""
     row = adj.agg(
         F.max(F.size("nbrs")).alias("mx"),
         F.avg(F.size("nbrs")).alias("av"),
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
     if not row["n"]:
+        return None
+    total_entries = float(row["n"]) * float(row["av"] or 0.0)
+    if total_entries < AUTO_HUB_MIN_EDGES:
         return None
     if row["mx"] >= 1024 and row["mx"] >= 16 * (row["av"] or 1.0):
         return AUTO_HUB_RATIO
@@ -114,9 +122,13 @@ def _edge_with_lower_adj(
     adj = lower_adjacency(e)
     persisted: DataFrame | None = None
     if hub_deg_ratio == "auto":
-        adj = adj.persist()
-        persisted = adj
+        # probe the LAZY adjacency first; persist only if the split engages
+        # (small inputs then pay one aggregate instead of a cache they
+        # don't need — the r2 bench's scale-insurance premium)
         hub_deg_ratio = _auto_hub_ratio(adj)
+        if hub_deg_ratio is not None:
+            adj = adj.persist()
+            persisted = adj
     elif hub_deg_ratio is not None:
         adj = adj.persist()  # reused by both joins + the threshold scan
         persisted = adj

@@ -19,17 +19,28 @@ reference's permutation assignment (src/porder.cpp:445-495 writes
 ``org2newid[order[i]] = i`` sequentially; here the same rank is computed
 with one range shuffle + a P-row driver prefix sum).
 
-The range-partitioned input is persisted so the partition ids observed by
-the count job and by the final ranking job are the same physical blocks
-(range-boundary sampling after a shuffle is not replay-stable). The cache
-holds only the projected input rows; callers running this inside a loop
-should unpersist via the returned DataFrame's lineage when done.
+Small inputs take a FAST PATH instead: below ``SMALL_INPUT_ROWS`` a single
+constant-partition window (one reducer sorting ≤10^6 rows) is strictly
+cheaper than the range shuffle + stats job + broadcast join — the engine
+should not pay scale-insurance premiums on small frames.
+
+Either way the RESULT is materialized eagerly (localCheckpoint) before
+returning and every transient cache is released inside this function:
+the returned frame is self-contained (no caller-visible persist to leak,
+no lineage into range-boundary sampling — which is not replay-stable).
+On a cluster, callers that need executor-loss durability for a long
+downstream pipeline should route the result through plans.checkpoint.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# below this row count the single-window fast path wins over the two-phase
+# range-shuffle machinery (measured at bench scale: the two-phase path
+# doubled the sf0.1 ingest time for zero benefit at 10^4-10^6 rows)
+SMALL_INPUT_ROWS = 1_000_000
 
 
 def global_order_stats(
@@ -40,6 +51,7 @@ def global_order_stats(
     cumsum_of: str | None = None,
     cumsum_col: str | None = None,
     num_partitions: int | None = None,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """Append global-order statistics to ``df`` without a global window.
 
@@ -47,42 +59,77 @@ def global_order_stats(
     ``rank_col`` gets the 0-based dense position in that order;
     ``cumsum_col`` gets the inclusive running sum of ``cumsum_of``
     (integer semantics, emitted as bigint).
+
+    ``approx_rows`` lets callers that already know the input size skip the
+    sizing count; when omitted one ``count()`` decides fast path vs
+    two-phase. The returned frame is eagerly materialized and
+    self-contained (see module docstring).
     """
     if rank_col is None and cumsum_col is None:
         raise ValueError("request at least one of rank_col / cumsum_col")
     if (cumsum_col is None) != (cumsum_of is None):
         raise ValueError("cumsum_col and cumsum_of go together")
     spark = df.sparkSession
+
+    n_rows = approx_rows if approx_rows is not None else df.count()
+    if n_rows <= SMALL_INPUT_ROWS:
+        # fast path: one reducer sorts the whole (small) frame. The window
+        # partitions on a materialized spark_partition_id column (constant
+        # 0 after repartition(1), but NOT constant-foldable — a literal
+        # partition key would be folded away and re-trigger the
+        # `WindowExec: No Partition Defined` single-reducer warning path).
+        parted = df.repartition(1).withColumn("_pid", F.spark_partition_id())
+        w = Window.partitionBy("_pid").orderBy(*order_exprs)
+        out = parted
+        if rank_col is not None:
+            out = out.withColumn(
+                rank_col, (F.row_number().over(w) - 1).cast("long")
+            )
+        if cumsum_col is not None:
+            ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            out = out.withColumn(
+                cumsum_col, F.sum(cumsum_of).over(ws).cast("long")
+            )
+        return out.drop("_pid").localCheckpoint(eager=True)
+
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # persisted only WITHIN this call: the partition ids observed by the
+    # count job and by the final ranking job must be the same physical
+    # blocks (range-boundary sampling after a shuffle is not replay-stable)
     parted = (
         df.repartitionByRange(p, *order_exprs)
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
-    aggs = [F.count(F.lit(1)).alias("_n")]
-    if cumsum_of is not None:
-        aggs.append(F.sum(cumsum_of).cast("long").alias("_s"))
-    stats = {r["_pid"]: r for r in parted.groupBy("_pid").agg(*aggs).collect()}
-
-    rows: list[tuple[int, int, int]] = []
-    off_n = off_s = 0
-    for pid in sorted(stats):
-        rows.append((pid, off_n, off_s))
-        off_n += stats[pid]["_n"]
+    try:
+        aggs = [F.count(F.lit(1)).alias("_n")]
         if cumsum_of is not None:
-            off_s += int(stats[pid]["_s"] or 0)
-    offsets = spark.createDataFrame(rows, "_pid int, _off_n long, _off_s long")
+            aggs.append(F.sum(cumsum_of).cast("long").alias("_s"))
+        stats = {r["_pid"]: r for r in parted.groupBy("_pid").agg(*aggs).collect()}
 
-    out = parted.join(F.broadcast(offsets), "_pid")
-    wp = Window.partitionBy("_pid").orderBy(*order_exprs)
-    if rank_col is not None:
-        out = out.withColumn(
-            rank_col, (F.row_number().over(wp) + F.col("_off_n") - 1).cast("long")
-        )
-    if cumsum_col is not None:
-        wps = wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        out = out.withColumn(
-            cumsum_col,
-            (F.sum(cumsum_of).over(wps).cast("long") + F.col("_off_s")).cast("long"),
-        )
-    return out.drop("_pid", "_off_n", "_off_s")
+        rows: list[tuple[int, int, int]] = []
+        off_n = off_s = 0
+        for pid in sorted(stats):
+            rows.append((pid, off_n, off_s))
+            off_n += stats[pid]["_n"]
+            if cumsum_of is not None:
+                off_s += int(stats[pid]["_s"] or 0)
+        offsets = spark.createDataFrame(rows, "_pid int, _off_n long, _off_s long")
+
+        out = parted.join(F.broadcast(offsets), "_pid")
+        wp = Window.partitionBy("_pid").orderBy(*order_exprs)
+        if rank_col is not None:
+            out = out.withColumn(
+                rank_col, (F.row_number().over(wp) + F.col("_off_n") - 1).cast("long")
+            )
+        if cumsum_col is not None:
+            wps = wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            out = out.withColumn(
+                cumsum_col,
+                (F.sum(cumsum_of).over(wps).cast("long") + F.col("_off_s")).cast("long"),
+            )
+        # materialize the result while the pid blocks are still cached, then
+        # release them — no caller-lifetime leak, no replay of the sampling
+        return out.drop("_pid", "_off_n", "_off_s").localCheckpoint(eager=True)
+    finally:
+        parted.unpersist()

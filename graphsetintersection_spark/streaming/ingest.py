@@ -78,7 +78,7 @@ def start_edge_sink(
 SESSION_OUT_SCHEMA = (
     "user_id long, session_start long, session_end long, n_events long"
 )
-_SESSION_STATE_SCHEMA = "start long, last long, n long"
+_SESSION_STATE_SCHEMA = "ts array<long>"
 
 
 def stream_sessionize(
@@ -88,15 +88,23 @@ def stream_sessionize(
 ) -> DataFrame:
     """Stateful streaming sessionization — the custom stateful operator
     path (``applyInPandasWithState``): per user, events within
-    ``gap_min`` minutes of each other share a session; a session CLOSES
-    (and is emitted) when a later event arrives past the gap or when the
-    event-time watermark passes its end + gap (timeout). The per-user open
-    session lives in the state store across micro-batches, so restarts
-    resume exactly.
+    ``gap_min`` minutes of each other share a session. A session is
+    emitted only once the EVENT-TIME WATERMARK passes its end + gap — the
+    point after which Spark guarantees no in-watermark event can still
+    join or split it — so the emitted sessions are EXACTLY the batch
+    sessionizer's output over all non-late events, in any arrival order.
 
-    Same semantics as the batch sessionizer (__spark_entry__
-    event_sessionize) restricted to CLOSED sessions. Epoch seconds in the
-    output keep the comparison engine-neutral."""
+    State per user = the event timestamps of sessions not yet
+    watermark-closed (bounded by the watermark horizon × per-user event
+    rate); each batch merges new events into the buffer, re-derives
+    sessions from the sorted set, emits the watermark-closed prefix and
+    keeps the rest. (The r2 version closed a session eagerly when a
+    past-gap event arrived and kept only (start, last, n) — an
+    out-of-order event inside the watermark could then move the open
+    session's end BACKWARDS or be wrongly split; re-deriving from the
+    buffered set removes that divergence. ADVICE r2 #1.)
+
+    Epoch seconds in the output keep the comparison engine-neutral."""
     import pandas as pd  # noqa: F401  (worker-side import)
 
     gap = gap_min * 60
@@ -105,40 +113,45 @@ def stream_sessionize(
         import pandas as pd
 
         user_id = key[0]
-        if state.hasTimedOut:
+        new_ts: list[int] = []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                es = (pdf["ts"].astype("int64") // 1_000_000_000).tolist()
+                new_ts.extend(int(x) for x in es)
+        buf = list(state.get[0]) if state.exists else []
+        merged = sorted(buf + new_ts)
+        if not merged:
             if state.exists:
-                s, last, n = state.get
                 state.remove()
-                yield pd.DataFrame(
-                    {"user_id": [user_id], "session_start": [s],
-                     "session_end": [last], "n_events": [n]}
-                )
             return
 
-        ts: list[int] = []
-        for pdf in pdfs:
-            es = (pdf["ts"].astype("int64") // 1_000_000_000).tolist()
-            ts.extend(int(x) for x in es)
-        ts.sort()
-        if state.exists:
-            s, last, n = state.get
-        else:
-            s, last, n = None, None, 0
-        closed = []
-        for e in ts:
-            if last is None:
-                s, last, n = e, e, 1
-            elif e - last > gap:
-                closed.append((s, last, n))
+        # derive sessions from the full (sorted) buffered event set
+        sessions: list[tuple[int, int, int]] = []
+        s = last = merged[0]
+        n = 1
+        for e in merged[1:]:
+            if e - last > gap:
+                sessions.append((s, last, n))
                 s, last, n = e, e, 1
             else:
                 last = e
                 n += 1
-        if last is None:  # no events and no prior state
-            return
-        state.update((int(s), int(last), int(n)))
-        # close by event-time timeout once the watermark passes last + gap
-        state.setTimeoutTimestamp((int(last) + gap) * 1000)
+        sessions.append((s, last, n))
+
+        wm = state.getCurrentWatermarkMs() // 1000
+        # STRICT close: an event at exactly ts = end + gap would still merge
+        # (gap is inclusive), and Spark admits events with ts == watermark
+        closed = [c for c in sessions if c[1] + gap < wm]
+        still_open = sessions[len(closed):]
+        if still_open:
+            cutoff = still_open[0][0]
+            state.update(([t for t in merged if t >= cutoff],))
+            # wake up just past the earliest open session's close point
+            # (+1 ms keeps the timestamp strictly above the watermark even
+            # when end + gap == wm)
+            state.setTimeoutTimestamp((still_open[0][1] + gap) * 1000 + 1)
+        else:
+            state.remove()
         if closed:
             yield pd.DataFrame(
                 {

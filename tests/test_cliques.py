@@ -102,3 +102,44 @@ def test_degeneracy_distributed_round_cap(spark):
     assert sorted(r["rank"] for r in rows) == list(range(11))
     got = _collect_cliques(maximal_cliques(df, order=order))
     assert got == python_bk(path)
+
+
+def test_cliques_hub_split_matches_unsplit(spark):
+    """Forcing a tiny max_group_deg routes hub vertices through the
+    pair-split path (one BK level deeper, common-neighborhood groups);
+    the clique set must be identical to the unsplit run and the oracle."""
+    pairs = random_graph(30, 160, seed=21)
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    oracle = python_bk(pairs)
+    # cap low enough that several vertices split (random_graph(30,160)
+    # has average degree ~10)
+    got_split = _collect_cliques(maximal_cliques(df, max_group_deg=4))
+    assert got_split == oracle
+    got_unsplit = _collect_cliques(maximal_cliques(df, max_group_deg=10**9))
+    assert got_unsplit == oracle
+
+
+def test_cliques_hub_star_and_k4(spark):
+    """A hub star (hub adjacent to many leaves, no leaf-leaf edges) under
+    the pair path: every {hub, leaf} edge with empty common neighborhood
+    must still be emitted as a maximal 2-clique."""
+    hub_star = [(0, i) for i in range(1, 12)]
+    k4 = [(a, b) for a in range(20, 24) for b in range(a + 1, 24)]
+    bridge = [(0, 20)]
+    pairs = hub_star + k4 + bridge
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    got = _collect_cliques(maximal_cliques(df, max_group_deg=3))
+    assert got == python_bk(pairs)
+
+
+def test_cliques_partial_order_guard(spark):
+    """A caller-supplied order missing some vertices must not crash
+    (ADVICE r2 #3): covered vertices' cliques are enumerated over the
+    order's scope."""
+    k3 = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    df = spark.createDataFrame(k3, "src long, dst long")
+    order = spark.createDataFrame(
+        [(0, 0), (1, 1), (2, 2)], "v long, rank long"
+    )  # vertex 3 missing
+    got = _collect_cliques(maximal_cliques(df, order=order))
+    assert (0, 1, 2) in got

@@ -86,3 +86,21 @@ def test_components_resume(spark, tmp_path):
     assert res.converged
     oracle = union_find_components(pairs)
     assert _collect(res.components) == oracle
+
+
+def test_minlabel_salted_parity_on_hub_graph(spark):
+    """Forced two-stage salted aggregation (plans.skew) must give the
+    exact same components as the plain aggregate on a Zipf-hub fixture."""
+    from graphsetintersection_spark.operators.components import (
+        connected_components_minlabel,
+    )
+
+    hub = [(0, i) for i in range(1, 200)]
+    chain = [(i, i + 1) for i in range(200, 240)]
+    df = spark.createDataFrame(hub + chain, "src long, dst long")
+    plain = connected_components_minlabel(df, salt_hubs=None)
+    salted = connected_components_minlabel(df, salt_hubs=8)
+    assert plain.converged and salted.converged
+    a = sorted((r["v"], r["component"]) for r in plain.components.collect())
+    b = sorted((r["v"], r["component"]) for r in salted.components.collect())
+    assert a == b

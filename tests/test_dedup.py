@@ -114,3 +114,36 @@ def test_simhash_near_dups(spark, docs_with_dups):
         assert (i, i + 10000) in got
     ham = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
     assert all(ham[(i, i + 10000)] == 0 for i in range(20))
+
+
+def test_signature_builds_are_map_side_combinable(spark):
+    """MinHash/SimHash signature aggregation must be partial (map-side
+    combinable) with an O(P) buffer — not a collect_list of per-token
+    arrays (VERDICT r2 #2). Checked two ways: the physical plan carries
+    partial_min / partial_sum, and a single ≥200k-token document completes
+    without an aggregation-buffer blowup."""
+    from graphsetintersection_spark.functions.dedup import (
+        minhash_signatures,
+        simhash_signatures,
+    )
+
+    long_text = " ".join(f"tok{i % 9973}x{i % 31}" for i in range(200_000))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, long_text + " tail")], "doc_id long, text string"
+    )
+
+    mh = minhash_signatures(df, num_perm=64, n=5)
+    mh_plan = mh._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in mh_plan and "collect_list" not in mh_plan
+    rows = {r["doc_id"]: r["sig"] for r in mh.collect()}
+    assert len(rows[1]) == 64
+    # near-identical docs share almost all minhash slots
+    agree = sum(a == b for a, b in zip(rows[1], rows[2]))
+    assert agree >= 48
+
+    sh = simhash_signatures(df)
+    sh_plan = sh._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in sh_plan and "collect_list" not in sh_plan
+    sig = {r["doc_id"]: r["simhash"] for r in sh.collect()}
+    ham = bin((sig[1] ^ sig[2]) & ((1 << 64) - 1)).count("1")
+    assert ham <= 3

@@ -61,3 +61,18 @@ def test_lpa_fixpoint_on_two_cliques(spark):
     got = _collect(res.labels)
     assert {got[v] for v in range(4)} == {0}
     assert {got[v] for v in range(10, 14)} == {10}
+
+
+def test_lpa_salted_parity_on_hub_graph(spark):
+    """Forced salted two-stage counts must reproduce the deterministic LPA
+    labels exactly (sum of salted count partials == plain count)."""
+    from graphsetintersection_spark.operators.labelprop import label_propagation
+
+    hub = [(0, i) for i in range(1, 150)]
+    ring = [(i, (i + 1) % 30 + 200) for i in range(200, 230)]
+    df = spark.createDataFrame(hub + ring, "src long, dst long")
+    plain = label_propagation(df, max_rounds=3, fixed_rounds=True, salt_hubs=None)
+    salted = label_propagation(df, max_rounds=3, fixed_rounds=True, salt_hubs=8)
+    a = sorted((r["v"], r["label"]) for r in plain.labels.collect())
+    b = sorted((r["v"], r["label"]) for r in salted.labels.collect())
+    assert a == b

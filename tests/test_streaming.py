@@ -155,3 +155,65 @@ def test_stateful_stream_sessionize(spark, tmp_path):
         (1, epoch, epoch + 600, 3),      # closed by gap
         (2, epoch, epoch + 60, 2),       # closed by event-time timeout
     ]
+
+
+def test_sessionize_out_of_order_across_batches(spark, tmp_path):
+    """An in-watermark LATE event arriving in a later micro-batch must
+    merge into (and extend) the session exactly as the batch sessionizer
+    would — the r2 implementation moved the open session's end backwards
+    instead (ADVICE r2 #1). Two availableNow runs over the same streaming
+    checkpoint emulate the two micro-batches."""
+    import datetime as dt
+
+    from graphsetintersection_spark.streaming.ingest import stream_sessionize
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def t(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    events_dir = str(tmp_path / "ooo_events")
+    out_dir = str(tmp_path / "ooo_out")
+    ck_dir = str(tmp_path / "ooo_ck")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .parquet(events_dir)
+        )
+        q = (
+            stream_sessionize(stream, gap_min=30, watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: t0, t20 (one session so far), t100 (later; advances the
+    # watermark to t40 after the batch)
+    spark.createDataFrame(
+        [(1, t(0)), (1, t(20)), (1, t(100))], "user_id long, ts timestamp"
+    ).write.mode("append").parquet(events_dir)
+    run_once()
+
+    # batch 2: LATE event t45 (>= watermark t40) — bridges t20→t45 with
+    # gaps ≤ 30min, so the batch semantics give ONE session (t0..t45).
+    # A fresh user-2 event at t200 advances the watermark to t140, which
+    # closes both of user 1's sessions via event-time timeout.
+    spark.createDataFrame(
+        [(1, t(45)), (2, t(200))], "user_id long, ts timestamp"
+    ).write.mode("append").parquet(events_dir)
+    run_once()
+
+    got = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    epoch = int(base.replace(tzinfo=dt.timezone.utc).timestamp())
+    assert got == [
+        (1, epoch, epoch + 45 * 60, 3),          # late t45 merged, end FORWARD
+        (1, epoch + 100 * 60, epoch + 100 * 60, 1),
+    ]

@@ -66,9 +66,11 @@ def test_lang_id_oracle(spark, docs):
 
 
 def test_fingerprint_oracle(spark, docs):
+    from graphsetintersection_spark.functions.text import FINGERPRINT_MAX_CHARS
+
     def py_fp(t):
         h, p = 0, 1
-        for ch in t:
+        for ch in t[:FINGERPRINT_MAX_CHARS]:
             o = ord(ch)
             code = o if o < 128 else 0  # ascii() semantics: non-ascii→?
             h = (h + code * p) % FINGERPRINT_MOD
@@ -79,3 +81,18 @@ def test_fingerprint_oracle(spark, docs):
     got = {r["doc_id"]: r["fingerprint"] for r in fingerprint(sample).collect()}
     for row in sample.select("doc_id", "text").collect():
         assert got[row["doc_id"]] == py_fp(row["text"] or ""), row["doc_id"]
+
+
+def test_fingerprint_caps_long_docs(spark):
+    """The fingerprint hashes a fixed prefix (FINGERPRINT_MAX_CHARS) so
+    MB-size pages don't allocate O(len) per-row arrays: a 100k-char doc
+    fingerprints identically to its 4096-char prefix."""
+    from graphsetintersection_spark.functions.text import FINGERPRINT_MAX_CHARS
+
+    long_text = ("abcdefgh " * 12500).strip()  # ~112k chars
+    df = spark.createDataFrame(
+        [(1, long_text), (2, long_text[:FINGERPRINT_MAX_CHARS])],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["fingerprint"] for r in fingerprint(df).collect()}
+    assert got[1] == got[2]
