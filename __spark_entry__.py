@@ -100,6 +100,14 @@ def _q_bfs_relabel(spark, sf_dir):
     )
 
 
+def _q_rcm_relabel(spark, sf_dir):
+    from graphsetintersection_spark.operators.relabel import rcm_order
+
+    return rcm_order(_lgraph(spark, sf_dir), max_levels=BFS_MAX_LEVELS).select(
+        "org_id", "new_id"
+    )
+
+
 def _q_dedup_keep_first(spark, sf_dir):
     from graphsetintersection_spark.functions.dedup import dedup_keep_first
 
@@ -153,6 +161,18 @@ def _q_connected_components(spark, sf_dir):
     )
 
     res = connected_components_starcontraction(_sgraph(spark, sf_dir), max_rounds=30)
+    return res.components.select("v", "component")
+
+
+def _q_connected_components_minlabel(spark, sf_dir):
+    """The min-label implementation against the SAME recursive-CTE oracle
+    as star contraction (the two implementations' parity is also a pytest;
+    gating both keeps either from silently drifting)."""
+    from graphsetintersection_spark.operators.components import (
+        connected_components_minlabel,
+    )
+
+    res = connected_components_minlabel(_sgraph(spark, sf_dir), max_rounds=50)
     return res.components.select("v", "component")
 
 
@@ -331,6 +351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_table": _q_degree_table,
         "degree_relabel": _q_degree_relabel,
         "bfs_relabel": _q_bfs_relabel,
+        "rcm_relabel": _q_rcm_relabel,
         "comp_ratio": _q_comp_ratio,
         "hubs": _q_hubs,
         "triangle_count": _q_triangle_count,
@@ -338,6 +359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "pagerank_kernel": _q_pagerank_kernel,
         "connected_components": _q_connected_components,
+        "connected_components_minlabel": _q_connected_components_minlabel,
         "label_propagation": _q_label_propagation,
         "subgraph_match_triangle": _q_subgraph_match_triangle,
         "maximal_cliques": _q_maximal_cliques,
@@ -649,6 +671,20 @@ select * from (
 """
 
 
+# shared by both CC implementations (star contraction + min-label): the
+# component id is the reachability-minimum either way
+_CC_ORACLE_SQL = f"""
+with recursive edges as ({_SGRAPH_EDGES}),
+und as (select src as u, dst as w from edges union select dst, src from edges),
+reach(v, m) as (
+  select u, u from und
+  union
+  select und.w, reach.m from reach join und on und.u = reach.v
+)
+select v, min(m) as component from reach group by v
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_stats": _DOC_STATS_SQL,
@@ -698,6 +734,33 @@ select deg.v as org_id,
        cast(row_number() over (
          order by coalesce(lvl.level, {BFS_MAX_LEVELS + 1}) asc,
                   deg.deg desc, deg.v asc) - 1 as bigint) as new_id
+from deg left join lvl on lvl.v = deg.v
+""",
+        # rcm_order: same BFS-level CTE from the MIN-degree root with
+        # ascending-degree tie-break, final ids REVERSED (relabel.rcm_order;
+        # reference src/porder.cpp:586-631)
+        "rcm_relabel": f"""
+with recursive edges as materialized ({_LGRAPH_EDGES}),
+o as (select src as v, count(*) as out_deg from edges group by src),
+i as (select dst as v, count(*) as in_deg from edges group by dst),
+deg as materialized (
+  select coalesce(o.v, i.v) as v,
+         coalesce(out_deg, 0) + coalesce(in_deg, 0) as deg
+  from o full outer join i on o.v = i.v
+),
+root as (select v from deg order by deg asc, v asc limit 1),
+reach(v, level) as (
+  select v, 0 from root
+  union
+  select e.dst, reach.level + 1
+  from reach join edges e on e.src = reach.v
+  where reach.level < {BFS_MAX_LEVELS}
+),
+lvl as (select v, min(level) as level from reach group by v)
+select deg.v as org_id,
+       cast((select count(*) from deg) - row_number() over (
+         order by coalesce(lvl.level, {BFS_MAX_LEVELS + 1}) asc,
+                  deg.deg asc, deg.v asc) as bigint) as new_id
 from deg left join lvl on lvl.v = deg.v
 """,
         "dedup_keep_first": """
@@ -789,16 +852,8 @@ where e1.u <> e2.w
 """,
         "pagerank": _pagerank_oracle_sql(),
         "pagerank_kernel": _pagerank_oracle_sql(),
-        "connected_components": f"""
-with recursive edges as ({_SGRAPH_EDGES}),
-und as (select src as u, dst as w from edges union select dst, src from edges),
-reach(v, m) as (
-  select u, u from und
-  union
-  select und.w, reach.m from reach join und on und.u = reach.v
-)
-select v, min(m) as component from reach group by v
-""",
+        "connected_components": _CC_ORACLE_SQL,
+        "connected_components_minlabel": _CC_ORACLE_SQL,
         "label_propagation": _lpa_oracle_sql(),
     }
 

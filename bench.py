@@ -111,10 +111,13 @@ def main() -> None:
     comp["bfs_relabeled"] = round(comp_ratio(bfs_rel), 4)
     timings["comp_ratio_bfs"] = round(time.perf_counter() - t0, 3)
 
-    # ---- triangle count (Arrow kernel) — north-rule throughput metric
-    tri = timed("triangle_count_kernel", lambda: triangle_count_kernel(relabeled))
-    throughput["triangle_edges_per_sec"] = round(
-        n_edges / timings["triangle_count_kernel"], 1
+    # ---- triangle count (Arrow kernel) — north-rule throughput metric.
+    # "triangle_count_kernel" times the uint kernel explicitly (the key's
+    # r1/r2 meaning, kept comparable); the BSR kernel is the engine
+    # default and feeds the headline throughput.
+    tri = timed(
+        "triangle_count_kernel",
+        lambda: triangle_count_kernel(relabeled, kernel="uint"),
     )
     timed("triangle_count_arrays", lambda: triangle_count_arrays(relabeled))
     # BSR bit-packed kernel (the reference's BP path) under each ordering —
@@ -124,6 +127,9 @@ def main() -> None:
         lambda: triangle_count_kernel(relabeled, kernel="bsr"),
     )
     assert tri_bsr == tri, "BSR kernel diverged from uint kernel"
+    throughput["triangle_edges_per_sec"] = round(
+        n_edges / timings["triangle_count_kernel_bsr"], 1
+    )
     tri_bsr_orig = timed(
         "triangle_count_bsr_original",
         lambda: triangle_count_kernel(edges_orig, kernel="bsr"),

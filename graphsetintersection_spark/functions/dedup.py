@@ -105,7 +105,8 @@ def hashed_shingles(
     string on every call — the shingle ``transform`` is therefore
     O(len²) per document (measured: a 2 MB page effectively never
     finishes). This kernel rolls a polynomial hash over the UTF-8 bytes
-    with numpy stride tricks — O(len·n), no per-row Python. MinHash only
+    with numpy stride tricks — O(len·n), vectorized over each document's
+    bytes (the only Python loop is per document, not per char). MinHash only
     ever consumes the shingle HASH, so the string form is never needed on
     the scale path; the exact-Jaccard ops (``ngram_jaccard_pairs``,
     ``jaccard_for_pairs``) keep string shingles for SQL-oracle exactness.

@@ -288,6 +288,49 @@ def batch_intersect_count_lists(lists_a, lists_b) -> np.ndarray:
     return batch_intersect_count(va, la, vb, lb)
 
 
+def batch_union(
+    vals_a: np.ndarray, lens_a: np.ndarray,
+    vals_b: np.ndarray, lens_b: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row A_i ∪ B_i for a whole batch — the batch form of contract 2
+    (reference ``merge``, set_operation.cpp:1189-1205). Returns
+    (values, row lengths): one global ``np.union1d`` over the row-lifted
+    keys merges every row at once; lengths come from the row part of the
+    merged keys."""
+    n = len(lens_a)
+    assert len(lens_b) == n
+    if n == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    _check_row_shift(vals_a, vals_b)
+    row_a = np.repeat(np.arange(n, dtype=np.int64), lens_a)
+    row_b = np.repeat(np.arange(n, dtype=np.int64), lens_b)
+    key = np.union1d((row_a << ROW_SHIFT) | vals_a, (row_b << ROW_SHIFT) | vals_b)
+    rows = key >> ROW_SHIFT
+    mask = np.int64((1 << ROW_SHIFT) - 1)
+    return key & mask, np.bincount(rows, minlength=n).astype(np.int64)
+
+
+def batch_difference(
+    vals_a: np.ndarray, lens_a: np.ndarray,
+    vals_b: np.ndarray, lens_b: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row A_i \\ B_i for a whole batch — the batch form of contract 3
+    (reference ``subtract``, set_operation.cpp:1342-1387). Returns
+    (values, row lengths); one membership pass (batch_membership) marks
+    the survivors."""
+    n = len(lens_a)
+    assert len(lens_b) == n
+    if n == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    hit = batch_membership(vals_a, lens_a, vals_b, lens_b)
+    row_a = np.repeat(np.arange(n, dtype=np.int64), lens_a)
+    keep = ~hit
+    return (
+        vals_a[keep],
+        np.bincount(row_a[keep], minlength=n).astype(np.int64),
+    )
+
+
 def batch_membership(
     vals_a: np.ndarray, lens_a: np.ndarray,
     vals_b: np.ndarray, lens_b: np.ndarray,

@@ -302,29 +302,64 @@ def maximal_cliques(
     nil = F.lit(None).cast("long")
     vu = und.select(F.col("src").alias("v"), F.col("dst").alias("u"))
 
+    # ---- the rank-oriented triangle list, computed ONCE --------------------
+    # Every induced-edge row below derives from it. A naive per-group
+    # neighborhood expansion (group rows ⨝ full adjacency, then filter)
+    # materializes Θ(Σ_u deg(u)²) intermediate rows — a 467k-degree Zipf
+    # hub alone yields ~10^11 rows (measured: it filled the sandbox disk).
+    # The triangle list instead uses the TC dataflow (rank-oriented
+    # adjacency join + array_intersect + explode — operators.triangle),
+    # whose intermediates are the adjacency lists themselves, and whose
+    # output is exactly one row per triangle.
+    er = (
+        und.join(order.select(F.col("v").alias("src"),
+                              F.col("rank").alias("_rs")), "src")
+        .join(order.select(F.col("v").alias("dst"),
+                           F.col("rank").alias("_rd")), "dst")
+        .where(F.col("_rs") < F.col("_rd"))
+        .select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    )
+    adj_r = er.groupBy(F.col("x").alias("av")).agg(
+        F.collect_list("y").alias("nbrs")
+    )
+    tri = (
+        er.join(adj_r.select(F.col("av").alias("x"),
+                             F.col("nbrs").alias("na")), "x")
+        .join(adj_r.select(F.col("av").alias("y"),
+                           F.col("nbrs").alias("nb")), "y")
+        .select("x", "y", F.explode(F.array_intersect("na", "nb")).alias("w"))
+        .persist()
+    )
+    tri.count()
+    # tri rows (x, y, w) are rank-ascending: x, y the two lowest-rank
+    # vertices of the triangle, w ∈ N⁺(x) ∩ N⁺(y)
+
     # ---- per-vertex groups (small v): key (v, -1) --------------------------
-    vu_s = vu.join(small_v.select("v"), "v", "left_semi")
     base_s = small_v.select(
         "v", F.lit(-1).alias("u2"), nil.alias("a"), nil.alias("b"),
         nil.alias("r"), F.col("rank").alias("br"),
     )
-    members_s = vu_s.join(
-        order.select(F.col("v").alias("u"), F.col("rank").alias("u_rank")), "u"
-    ).select(
-        "v", F.lit(-1).alias("u2"), F.col("u").alias("a"), nil.alias("b"),
-        F.col("u_rank").alias("r"), nil.alias("br"),
-    )
-    induced_s = (
-        vu_s.join(und.select(F.col("src").alias("u"), F.col("dst").alias("w")), "u")
-        .join(
-            und.select(F.col("src").alias("v"), F.col("dst").alias("w")),
-            ["v", "w"],
-            "left_semi",
-        )
+    members_s = (
+        vu.join(small_v.select("v"), "v", "left_semi")
+        .join(order.select(F.col("v").alias("u"),
+                           F.col("rank").alias("u_rank")), "u")
         .select(
-            "v", F.lit(-1).alias("u2"), F.col("u").alias("a"),
-            F.col("w").alias("b"), nil.alias("r"), nil.alias("br"),
+            "v", F.lit(-1).alias("u2"), F.col("u").alias("a"), nil.alias("b"),
+            F.col("u_rank").alias("r"), nil.alias("br"),
         )
+    )
+    # induced edges of group v = the other two vertices of each triangle
+    # through v (each member-member edge IS a triangle with v)
+    tri3 = (
+        tri.select(F.col("x").alias("v"), F.col("y").alias("a"),
+                   F.col("w").alias("b"))
+        .unionByName(tri.select(F.col("y").alias("v"), F.col("x").alias("a"),
+                                F.col("w").alias("b")))
+        .unionByName(tri.select(F.col("w").alias("v"), F.col("x").alias("a"),
+                                F.col("y").alias("b")))
+    )
+    induced_s = tri3.join(small_v.select("v"), "v", "left_semi").select(
+        "v", F.lit(-1).alias("u2"), "a", "b", nil.alias("r"), nil.alias("br")
     )
 
     # ---- pair groups (hub v, u ∈ P(v)): key (v, u) -------------------------
@@ -338,33 +373,43 @@ def maximal_cliques(
         "v", F.col("u").alias("u2"), nil.alias("a"), nil.alias("b"),
         nil.alias("r"), F.col("u_rank").alias("br"),
     )
-    # common neighborhood N(v) ∩ N(u) — the triangle join on the pair
-    common = (
-        hp.select("v", "u")
-        .join(und.select(F.col("src").alias("v"), F.col("dst").alias("w")), "v")
-        .join(
-            und.select(F.col("src").alias("u"), F.col("dst").alias("w")),
-            ["u", "w"],
-            "left_semi",
-        )
+    # per-edge triangle view: (p1, p2) a rank-oriented edge, ap the apex
+    tri_pairs = (
+        tri.select(F.col("x").alias("p1"), F.col("y").alias("p2"),
+                   F.col("w").alias("ap"))
+        .unionByName(tri.select(F.col("x").alias("p1"), F.col("w").alias("p2"),
+                                F.col("y").alias("ap")))
+        .unionByName(tri.select(F.col("y").alias("p1"), F.col("w").alias("p2"),
+                                F.col("x").alias("ap")))
     )
-    members_p = common.join(
-        order.select(F.col("v").alias("w"), F.col("rank").alias("w_rank")), "w"
-    ).select(
-        "v", F.col("u").alias("u2"), F.col("w").alias("a"), nil.alias("b"),
-        F.col("w_rank").alias("r"), nil.alias("br"),
-    )
-    induced_p = (
-        common.withColumnRenamed("w", "w1")
-        .join(und.select(F.col("src").alias("w1"), F.col("dst").alias("w2")), "w1")
-        .join(
-            common.select("v", "u", F.col("w").alias("w2")),
-            ["v", "u", "w2"],
-            "left_semi",
-        )
+    # members of pair group (v,u) = common neighbors = apexes of edge (v,u)
+    members_p = (
+        tri_pairs.withColumnRenamed("p1", "v").withColumnRenamed("p2", "u")
+        .join(hp.select("v", "u"), ["v", "u"], "left_semi")
+        .join(order.select(F.col("v").alias("ap"),
+                           F.col("rank").alias("ap_rank")), "ap")
         .select(
-            "v", F.col("u").alias("u2"), F.col("w1").alias("a"),
-            F.col("w2").alias("b"), nil.alias("r"), nil.alias("br"),
+            "v", F.col("u").alias("u2"), F.col("ap").alias("a"),
+            nil.alias("b"), F.col("ap_rank").alias("r"), nil.alias("br"),
+        )
+    )
+    # induced edge (w1,w2) of pair group (v,u) ⟺ both {v,w1,w2} and
+    # {u,w1,w2} are triangles — a self-join of the per-edge triangle view
+    # restricted to hub/u-side apexes FIRST (both restrictions are small
+    # sets, so the per-edge apex product cannot blow up)
+    a_side = tri_pairs.join(
+        hub_v.select(F.col("v").alias("ap")), "ap", "left_semi"
+    ).select("p1", "p2", F.col("ap").alias("v"))
+    b_side = tri_pairs.join(
+        hp.select(F.col("u").alias("ap")).distinct(), "ap", "left_semi"
+    ).select("p1", "p2", F.col("ap").alias("u"))
+    induced_p = (
+        a_side.join(b_side, ["p1", "p2"])
+        .where(F.col("v") != F.col("u"))
+        .join(hp.select("v", "u"), ["v", "u"], "left_semi")
+        .select(
+            "v", F.col("u").alias("u2"), F.col("p1").alias("a"),
+            F.col("p2").alias("b"), nil.alias("r"), nil.alias("br"),
         )
     )
 
@@ -419,8 +464,11 @@ def maximal_cliques(
                     cliques,
                 )
             else:
-                order_e = np.argsort(ia, kind="stable")
-                ia_s, ib_s = ia[order_e], ib[order_e]
+                # symmetrize explicitly: induced rows carry each edge once
+                ia2 = np.concatenate([ia, ib])
+                ib2 = np.concatenate([ib, ia])
+                order_e = np.argsort(ia2, kind="stable")
+                ia_s, ib_s = ia2[order_e], ib2[order_e]
                 starts = np.searchsorted(ia_s, np.arange(n + 1))
                 adj_list = [
                     np.unique(ib_s[starts[k]:starts[k + 1]]) for k in range(n)
@@ -438,6 +486,7 @@ def maximal_cliques(
         .applyInPandas(bk_group, "clique array<long>")
         .localCheckpoint(eager=True)
     )
+    tri.unpersist()
     und.unpersist()
     return result
 

@@ -177,27 +177,14 @@ def hub_degree_threshold(deg: DataFrame, deg_ratio: float) -> int | None:
     return int(min(r["deg"] for r in hist))
 
 
-def bfs_order(edges: DataFrame, max_levels: int = 64) -> DataFrame:
-    """BFS ordering (org_id, new_id) — the reference's second locality
-    criterion (src/porder.cpp:545-584): ids in BFS order from the
-    highest-out-degree root, so neighborhoods become contiguous id runs.
-
-    Distributed re-expression: level-synchronous frontier expansion over
-    out-edges assigns each reached vertex its BFS LEVEL (one join +
-    anti-join per level, lineage truncated); the final permutation is the
-    two-phase rank over (level asc, deg desc, v asc). Within a level the
-    reference's order is its sequential queue order — here the
-    deterministic (deg desc, v) tie-break, same locality class. Vertices
-    unreachable from the root (the reference restarts BFS per component,
-    :548-563) are appended after all reached levels as one final wave,
-    ordered by the same (deg desc, v asc) tie-break."""
+def _bfs_levels(
+    edges: DataFrame, root: int, max_levels: int
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Level-synchronous BFS from ``root`` over out-edges: one join +
+    anti-join per level, lineage truncated per round. Returns the
+    (v, level) frame plus the live localCheckpoint handles the caller must
+    unpersist once a downstream result is materialized."""
     spark = edges.sparkSession
-    deg = degrees(edges).persist()
-    root_row = deg.orderBy(F.col("deg").desc(), F.col("v").asc()).first()
-    if root_row is None:
-        return spark.createDataFrame([], "org_id long, new_id long")
-    root = int(root_row["v"])
-
     levels = spark.createDataFrame([(root, 0)], "v long, level int")
     frontier = levels
     prev_levels: DataFrame | None = None
@@ -222,26 +209,98 @@ def bfs_order(edges: DataFrame, max_levels: int = 64) -> DataFrame:
             prev_frontier.unpersist()
         prev_levels, prev_frontier = levels, nxt
         frontier = nxt
+    live = [f for f in (prev_levels, prev_frontier) if f is not None]
+    return levels, live
 
+
+def _level_order(
+    edges: DataFrame,
+    root_exprs: list,
+    level_tiebreak: list,
+    max_levels: int,
+    rank_col: str = "new_id",
+) -> DataFrame | None:
+    """Shared body of bfs_order / rcm_order: BFS levels from the extreme-
+    degree root, then the two-phase rank over (level, <tiebreak>).
+    Returns the materialized (v, deg, level, rank) frame or None if the
+    graph is empty. All BFS working caches are released before return."""
+    deg = degrees(edges).persist()
+    root_row = deg.orderBy(*root_exprs).first()
+    if root_row is None:
+        deg.unpersist()
+        return None
+    root = int(root_row["v"])
+    levels, live = _bfs_levels(edges, root, max_levels)
     ranked = deg.join(levels, "v", "left").select(
         "v",
         F.coalesce("level", F.lit(max_levels + 1)).alias("level"),
         "deg",
     )
     out = global_order_stats(
-        ranked,
-        [F.col("level").asc(), F.col("deg").desc(), F.col("v").asc()],
-        rank_col="new_id",
+        ranked, [F.col("level").asc(), *level_tiebreak], rank_col=rank_col
     )
     # global_order_stats returned an EAGERLY MATERIALIZED frame (its
     # contract) — the BFS working localCheckpoints are no longer referenced
     # by any recomputable lineage and can be dropped safely
     deg.unpersist()
-    if prev_levels is not None:
-        prev_levels.unpersist()
-    if prev_frontier is not None:
-        prev_frontier.unpersist()
+    for f in live:
+        f.unpersist()
+    return out
+
+
+def bfs_order(edges: DataFrame, max_levels: int = 64) -> DataFrame:
+    """BFS ordering (org_id, new_id) — the reference's second locality
+    criterion (src/porder.cpp:545-584): ids in BFS order from the
+    highest-out-degree root, so neighborhoods become contiguous id runs.
+
+    Distributed re-expression: level-synchronous frontier expansion over
+    out-edges assigns each reached vertex its BFS LEVEL; the final
+    permutation is the two-phase rank over (level asc, deg desc, v asc).
+    Within a level the reference's order is its sequential queue order —
+    here the deterministic (deg desc, v) tie-break, same locality class.
+    Vertices unreachable from the root (the reference restarts BFS per
+    component, :548-563) are appended after all reached levels as one
+    final wave, ordered by the same (deg desc, v asc) tie-break."""
+    spark = edges.sparkSession
+    out = _level_order(
+        edges,
+        [F.col("deg").desc(), F.col("v").asc()],
+        [F.col("deg").desc(), F.col("v").asc()],
+        max_levels,
+    )
+    if out is None:
+        return spark.createDataFrame([], "org_id long, new_id long")
     return out.select(F.col("v").alias("org_id"), "new_id")
+
+
+def rcm_order(edges: DataFrame, max_levels: int = 64) -> DataFrame:
+    """Reverse Cuthill–McKee ordering (org_id, new_id) — reference
+    rcm_order (src/porder.cpp:586-631): BFS from the MINIMUM-total-degree
+    vertex, neighbors visited in ascending degree order, and the final ids
+    assigned in REVERSE (the reference fills new_id from v_num-1 down).
+
+    Distributed re-expression: the same level-synchronous BFS as
+    bfs_order, ranked over (level asc, deg ASC, v asc) — the reference's
+    ascending-degree queue-order class — then reversed:
+    new_id = (V-1) − rank. The reference restarts per component in
+    ascending-degree order (:600-603); unreached vertices here form one
+    final wave under the same (deg asc, v) order — same locality class,
+    deterministic."""
+    spark = edges.sparkSession
+    out = _level_order(
+        edges,
+        [F.col("deg").asc(), F.col("v").asc()],
+        [F.col("deg").asc(), F.col("v").asc()],
+        max_levels,
+        rank_col="_r",
+    )
+    if out is None:
+        return spark.createDataFrame([], "org_id long, new_id long")
+    n = out.count()
+    return out.select(
+        F.col("v").alias("org_id"),
+        (F.lit(int(n) - 1) - F.col("_r")).cast("long").alias("new_id"),
+    )
 
 
 def leaf_node_count(edges: DataFrame) -> int:

@@ -187,21 +187,28 @@ _count_batches_bsr = _make_count_batches(batch_bsr_intersect_count)
 def triangle_count_kernel(
     edges: DataFrame,
     hub_deg_ratio: float | None | str = "auto",
-    kernel: str = "uint",
+    kernel: str = "bsr",
 ) -> int:
     """Adjacency + vectorized numpy batch kernel via mapInArrow.
 
     Each Arrow batch contributes one partial count (the reference's
     per-thread ``con_res[id]`` partials, src/bitpack_triangle_count
-    .cpp:150-205); Spark's ``sum`` does the final reduce.
+    .cpp:150-205); Spark's ``sum`` does the final reduce. The whole plan
+    is SINGLE-PASS: the per-edge adjacency join streams straight into the
+    count kernel, nothing besides the (small) adjacency is ever persisted
+    — measured 0.84 scaling efficiency 4→16 pinned cores on a 59M-edge
+    corpus (BENCH/BASELINE.md).
+
     ``hub_deg_ratio`` (e.g. 0.3) turns on the broadcast-hub-adjacency
     split for Zipf-skewed graphs; the default "auto" enables it only
     when the degree distribution is actually skewed.
 
-    ``kernel``: "uint" (element-wise searchsorted) or "bsr" (bit-packed
-    base/state AND+popcount — the reference's BP path,
-    src/bitpack_triangle_count.cpp:43-103, which pays off after a degree
-    relabel densifies the id space; measure with relabel.comp_ratio)."""
+    ``kernel``: "bsr" (bit-packed base/state AND+popcount — the
+    reference's BP path, src/bitpack_triangle_count.cpp:43-103; default —
+    it measured faster at every corpus/ordering tried, and a degree
+    relabel densifies it further, see relabel.comp_ratio) or "uint"
+    (element-wise searchsorted — the Org-path parity twin, kept for
+    differential testing and for extremely sparse id spaces)."""
     fn = {"uint": _count_batches, "bsr": _count_batches_bsr}[kernel]
     joined, persisted = _edge_with_lower_adj(edges, hub_deg_ratio)
     partials = joined.mapInArrow(fn, "tri long")

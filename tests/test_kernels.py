@@ -151,3 +151,39 @@ def test_batch_kernels_reject_out_of_range_ids():
             fn(big, one, big, one)
         with pytest.raises(ValueError):
             fn(-one, one, one, one)
+
+
+def test_batch_union_difference_match_rowwise():
+    """Batch forms of contracts 2-3 vs per-row numpy oracles."""
+    rng = np.random.default_rng(7)
+    lists_a, lists_b = [], []
+    for i in range(40):
+        a = np.unique(rng.integers(0, 500, size=rng.integers(0, 60)))
+        b = np.unique(rng.integers(0, 500, size=rng.integers(0, 60)))
+        lists_a.append(a.astype(np.int64))
+        lists_b.append(b.astype(np.int64))
+    va, la = K._flatten(lists_a)
+    vb, lb = K._flatten(lists_b)
+
+    uv, ul = K.batch_union(va, la, vb, lb)
+    off = np.concatenate([[0], np.cumsum(ul)])
+    for i, (a, b) in enumerate(zip(lists_a, lists_b)):
+        got = uv[off[i]:off[i + 1]]
+        assert np.array_equal(got, np.union1d(a, b)), i
+
+    dv, dl = K.batch_difference(va, la, vb, lb)
+    off = np.concatenate([[0], np.cumsum(dl)])
+    for i, (a, b) in enumerate(zip(lists_a, lists_b)):
+        got = dv[off[i]:off[i + 1]]
+        assert np.array_equal(got, np.setdiff1d(a, b, assume_unique=True)), i
+
+
+def test_batch_union_difference_empty():
+    e = np.empty(0, dtype=np.int64)
+    uv, ul = K.batch_union(e, e, e, e)
+    assert len(uv) == 0 and len(ul) == 0
+    va, la = K._flatten([np.array([1, 2], dtype=np.int64)])
+    uv, ul = K.batch_union(va, la, e, np.array([0], dtype=np.int64))
+    assert list(uv) == [1, 2] and list(ul) == [2]
+    dv, dl = K.batch_difference(va, la, e, np.array([0], dtype=np.int64))
+    assert list(dv) == [1, 2] and list(dl) == [2]

@@ -131,3 +131,54 @@ def test_bfs_order_beats_degree_order_on_scrambled_grid(spark):
     bfs_r = comp_ratio(apply_order(df, bfs_order(df, max_levels=64)))
     assert bfs_r < base
     assert bfs_r < deg_r
+
+
+def test_rcm_order_reversed_min_degree_root(spark):
+    """RCM (reference src/porder.cpp:586-631): BFS from the MIN-degree
+    vertex with ascending-degree tie-break, ids assigned in reverse — the
+    root therefore gets the LARGEST new id."""
+    from graphsetintersection_spark.operators.relabel import rcm_order
+
+    # path 1-2-3-4 plus a hub 3-{5,6}: min total degree = vertex 1
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (3, 5), (3, 6), (2, 1), (3, 2), (4, 3),
+         (5, 3), (6, 3)],
+        "src long, dst long",
+    )
+    order = {r["org_id"]: r["new_id"] for r in rcm_order(df).collect()}
+    n = len(order)
+    assert sorted(order.values()) == list(range(n))
+    assert order[1] == n - 1          # min-degree root gets the top id
+    # BFS level monotonicity, reversed: level 1 (vertex 2) above level 2
+    assert order[2] > order[3]
+    # within level 2 of the BFS ({3}): nothing to compare; level 3
+    # ({4,5,6}, all deg ties) ordered by v asc then reversed
+    assert order[4] > order[5] > order[6]
+
+
+def test_rcm_order_lowers_comp_ratio_on_band_graph(spark):
+    """RCM's purpose is bandwidth reduction: on an id-scrambled grid
+    (narrow BFS frontier bands) the RCM relabel must densify packing vs
+    the scrambled original."""
+    from graphsetintersection_spark.operators.relabel import rcm_order
+
+    W, D = 16, 24
+    n = W * D
+
+    def vid(x, y):
+        return ((y * W + x) * 91) % n  # id scramble (gcd(91, 384) = 1)
+
+    pairs = []
+    for y in range(D):
+        for x in range(W):
+            if x + 1 < W:
+                pairs.append((vid(x, y), vid(x + 1, y)))
+            if y + 1 < D:
+                pairs.append((vid(x, y), vid(x, y + 1)))
+    pairs = pairs + [(b, a) for a, b in pairs]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    rel = apply_order(df, rcm_order(df))
+    # measured: scrambled 0.606 → rcm 0.387 (0.64×); also beats bfs_order's
+    # 0.442 on this fixture. 0.75 leaves noise margin while still proving
+    # densification.
+    assert comp_ratio(rel) < comp_ratio(df) * 0.75
