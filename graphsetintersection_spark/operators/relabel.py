@@ -29,8 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graphsetintersection_spark.kernels import PACK_SHIFT
-from graphsetintersection_spark.operators.edges import degrees
+from graphsetintersection_spark.kernels import PACK_SHIFT, PACK_WIDTH
+from graphsetintersection_spark.operators.edges import canonicalize, degrees, symmetrize
 from graphsetintersection_spark.plans.assign import global_order_stats
 
 
@@ -306,3 +306,252 @@ def rcm_order(edges: DataFrame, max_levels: int = 64) -> DataFrame:
 def leaf_node_count(edges: DataFrame) -> int:
     """Count degree-1 vertices (src/porder.cpp:82-91)."""
     return degrees(edges).where(F.col("deg") == 1).count()
+
+
+def greedy_mheap_order(
+    edges: DataFrame,
+    window: int = PACK_WIDTH,
+    max_driver_vertices: int = 1_000_000,
+) -> DataFrame:
+    """GRO greedy ordering (org_id, new_id) — the reference's default
+    reorder (greedy_mheap, src/porder.cpp:142-235): ids are assigned in
+    windows of ``window`` (= the BSR pack width); each window STARTS at
+    the highest-degree unplaced vertex, then repeatedly appends the
+    unplaced vertex sharing the most in/out neighbors with the vertices
+    already placed in the CURRENT window (each shared neighbor counted
+    once per window — the reference's ``out_nbr_labels`` /
+    ``in_nbr_labels`` marking), so co-cited vertices land in the same
+    64-id pack word.
+
+    The greedy is inherently sequential (the reference runs it
+    single-threaded over CSR); like ``degeneracy_order`` it is executed
+    driver-side over numpy CSR and capped at ``max_driver_vertices`` —
+    beyond that, callers use ``degree_order`` (the scalable member of the
+    same family, and the initializer the reference itself applies first).
+    Tie-break is the deterministic (score desc, degree desc, id asc)
+    triple rather than the reference's history-dependent linked-list-heap
+    residual order — same objective, reproducible output.
+
+    Cost: Θ(Σ_v deg(v)²) score updates (the reference pays the same);
+    intended for graphs without mega-hubs (cf. its commented-out
+    ``huge_vertex`` skip)."""
+    import heapq
+
+    import numpy as np
+
+    spark = edges.sparkSession
+    und = symmetrize(canonicalize(edges))
+    rows = (
+        und.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+        .collect()
+    )
+    if len(rows) > max_driver_vertices:
+        raise ValueError(
+            "graph too large for driver-side greedy order — use degree_order"
+        )
+    ids = np.array(sorted(r["src"] for r in rows), dtype=np.int64)
+    idx_of = {int(v): i for i, v in enumerate(ids)}
+    nbrs = [None] * len(ids)
+    for r in rows:
+        nbrs[idx_of[int(r["src"])]] = np.array(
+            [idx_of[int(u)] for u in r["nbrs"]], dtype=np.int64
+        )
+    n = len(ids)
+    deg = np.array([len(x) for x in nbrs], dtype=np.int64)
+
+    # window-start order: (deg desc, id asc) — reference vertex_temp sort
+    start_order = sorted(range(n), key=lambda i: (-int(deg[i]), int(ids[i])))
+    start_ptr = 0
+    placed = np.zeros(n, dtype=bool)
+    score = np.zeros(n, dtype=np.int64)
+    epoch = np.full(n, -1, dtype=np.int64)       # lazy per-window reset
+    nbr_mark = np.full(n, -1, dtype=np.int64)    # v processed this window?
+    heap: list = []                               # lazy-invalidation heap
+    new_id = np.empty(n, dtype=np.int64)
+    cur_epoch = -1
+
+    def bump(w: int) -> None:
+        if epoch[w] != cur_epoch:
+            epoch[w] = cur_epoch
+            score[w] = 0
+        score[w] += 1
+        heapq.heappush(heap, (-int(score[w]), -int(deg[w]), int(ids[w]), w))
+
+    for pos in range(n):
+        if pos % window == 0:
+            cur_epoch += 1
+            heap.clear()
+            while placed[start_order[start_ptr]]:
+                start_ptr += 1
+            u = start_order[start_ptr]
+        else:
+            u = -1
+            while heap:
+                s, _, _, cand = heapq.heappop(heap)
+                if placed[cand] or epoch[cand] != cur_epoch or -s != score[cand]:
+                    continue  # stale entry
+                u = cand
+                break
+            if u < 0:  # no scored candidate left — fall back to start order
+                while placed[start_order[start_ptr]]:
+                    start_ptr += 1
+                u = start_order[start_ptr]
+        placed[u] = True
+        new_id[u] = pos
+        # score every 2-hop co-neighbor of u through each unprocessed
+        # neighbor v (one pass per v per window)
+        for v in nbrs[u]:
+            if nbr_mark[v] == cur_epoch:
+                continue
+            nbr_mark[v] = cur_epoch
+            for w in nbrs[v]:
+                if not placed[w]:
+                    bump(int(w))
+
+    out = [(int(ids[i]), int(new_id[i])) for i in range(n)]
+    return spark.createDataFrame(out, "org_id long, new_id long")
+
+
+def slashburn_order(
+    edges: DataFrame,
+    k_div: int = 1024,
+    k_cap: int = 1024,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """SlashBurn ordering (org_id, new_id) — reference slashburn_order
+    (src/porder.cpp:1009-1114): repeatedly "slash" the k highest-degree
+    hubs to the FRONT of the id space, assign every non-giant connected
+    component of the remainder to the BACK, and "burn" on into the giant
+    component; leftovers fill the middle front-side at the end. Hubs and
+    satellite components get extreme ids, the recursive core stays
+    contiguous.
+
+    Distributed re-expression, per round (all frames, no driver graph):
+    k = min(remaining/k_div, k_cap) hubs by (current degree desc, v asc)
+    → front ids; connected components of the hub-free remainder via star
+    contraction; the largest component (ties: smaller component id)
+    survives; all other vertices — including vertices isolated by the
+    slash — take back ids ordered by (component size desc, component id
+    asc, v asc). Documented deviations from the sequential reference: the
+    k hubs are selected by round-start degrees (the reference re-ranks
+    after each single hub removal), and ALL non-giant components are
+    assigned (the reference only discovers components adjacent to the
+    slashed hubs); both keep the same ordering family. Final leftovers:
+    v-ascending front ids (reference :1096-1098)."""
+    spark = edges.sparkSession
+    und = symmetrize(canonicalize(edges)).persist()
+    from graphsetintersection_spark.operators.components import (
+        connected_components_starcontraction,
+    )
+    from graphsetintersection_spark.operators.edges import vertices as _verts
+
+    rem_verts = _verts(und).localCheckpoint(eager=True)
+    n = rem_verts.count()
+    cur = und
+    assigned: list[DataFrame] = []
+    front_idx = 0
+    back_idx = n - 1
+    remaining = n
+
+    for _ in range(max_rounds):
+        k = max(1, min(remaining // k_div, k_cap))
+        if remaining < max(k, 2):
+            break
+        deg_cur = cur.groupBy(F.col("src").alias("v")).agg(
+            F.count("*").alias("deg")
+        )
+        hub_rows = (
+            rem_verts.join(deg_cur, "v", "left")
+            .select("v", F.coalesce("deg", F.lit(0)).alias("deg"))
+            .orderBy(F.col("deg").desc(), F.col("v").asc())
+            .limit(k)
+            .collect()
+        )
+        hubs = [(int(r["v"]), front_idx + i) for i, r in enumerate(hub_rows)]
+        front_idx += len(hubs)
+        hub_df = spark.createDataFrame(hubs, "org_id long, new_id long")
+        assigned.append(hub_df)
+        hub_v = hub_df.select(F.col("org_id").alias("v"))
+
+        rem2 = rem_verts.join(hub_v, "v", "left_anti").localCheckpoint(eager=True)
+        cur2 = (
+            cur.join(hub_v.withColumnRenamed("v", "src"), "src", "left_anti")
+            .join(hub_v.withColumnRenamed("v", "dst"), "dst", "left_anti")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        comp = connected_components_starcontraction(cur2).components
+        # vertices isolated by the slash are singleton components
+        comp_all = rem2.join(comp, "v", "left").select(
+            "v", F.coalesce("component", F.col("v")).alias("component")
+        )
+        sizes = comp_all.groupBy("component").agg(F.count("*").alias("csize"))
+        giant = (
+            sizes.orderBy(F.col("csize").desc(), F.col("component").asc())
+            .limit(1)
+            .collect()
+        )
+        if not giant:
+            rem_verts = rem2
+            remaining = 0
+            break
+        gcomp = int(giant[0]["component"])
+        non_giant = comp_all.where(F.col("component") != gcomp).join(
+            sizes, "component"
+        )
+        ranked = global_order_stats(
+            non_giant,
+            [F.col("csize").desc(), F.col("component").asc(), F.col("v").asc()],
+            rank_col="_r",
+        )
+        ng_count = ranked.count()
+        assigned.append(
+            ranked.select(
+                F.col("v").alias("org_id"),
+                (F.lit(back_idx) - F.col("_r")).cast("long").alias("new_id"),
+            )
+        )
+        back_idx -= ng_count
+
+        giant_v = comp_all.where(F.col("component") == gcomp).select("v")
+        old_rem, old_cur = rem_verts, cur
+        rem_verts = giant_v.localCheckpoint(eager=True)
+        cur = (
+            cur2.join(rem_verts.withColumnRenamed("v", "src"), "src", "left_semi")
+            .join(rem_verts.withColumnRenamed("v", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        if old_rem is not rem_verts:
+            old_rem.unpersist()
+        if old_cur is not und:
+            old_cur.unpersist()
+        cur2.unpersist()
+        rem2.unpersist()
+        remaining = rem_verts.count()
+        if remaining == 0:
+            break
+
+    # leftovers: v-ascending front ids (reference :1096-1098)
+    if remaining:
+        left = global_order_stats(
+            rem_verts, [F.col("v").asc()], rank_col="_r", approx_rows=remaining
+        )
+        assigned.append(
+            left.select(
+                F.col("v").alias("org_id"),
+                (F.lit(front_idx) + F.col("_r")).cast("long").alias("new_id"),
+            )
+        )
+
+    if not assigned:
+        und.unpersist()
+        return spark.createDataFrame([], "org_id long, new_id long")
+    out = assigned[0]
+    for frame in assigned[1:]:
+        out = out.unionByName(frame)
+    out = out.localCheckpoint(eager=True)
+    und.unpersist()
+    rem_verts.unpersist()
+    if cur is not und:
+        cur.unpersist()
+    return out

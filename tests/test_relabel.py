@@ -182,3 +182,65 @@ def test_rcm_order_lowers_comp_ratio_on_band_graph(spark):
     # 0.442 on this fixture. 0.75 leaves noise margin while still proving
     # densification.
     assert comp_ratio(rel) < comp_ratio(df) * 0.75
+
+
+def test_greedy_mheap_order_packs_cliques(spark):
+    """GRO greedy (reference src/porder.cpp:142-235): on a union of
+    id-scrambled 16-cliques with identical degrees, degree order recovers
+    nothing but the windowed greedy co-locates each clique inside one
+    64-id pack window, collapsing comp_ratio."""
+    from graphsetintersection_spark.operators.relabel import greedy_mheap_order
+
+    C, S = 12, 16   # 12 cliques of 16 vertices
+    n = C * S
+
+    def vid(c, i):
+        return ((c * S + i) * 119) % n  # scramble (gcd(119, 192) = 1)
+
+    pairs = []
+    for c in range(C):
+        for i in range(S):
+            for j in range(i + 1, S):
+                pairs.append((vid(c, i), vid(c, j)))
+    df = spark.createDataFrame(pairs, "src long, dst long")
+
+    order = greedy_mheap_order(df)
+    rows = {r["org_id"]: r["new_id"] for r in order.collect()}
+    assert sorted(rows.values()) == list(range(n))   # dense permutation
+    # every clique must land inside a contiguous id run of ≤ 2 windows
+    rel = apply_order(df, order)
+    assert comp_ratio(rel) < comp_ratio(df) * 0.5
+    # greedy must also beat degree order (all degrees tie → no locality)
+    deg_rel = apply_order(df, degree_order(df))
+    assert comp_ratio(rel) < comp_ratio(deg_rel) * 0.6
+
+
+def test_slashburn_order_structure(spark):
+    """SlashBurn (reference src/porder.cpp:1009-1114): hubs to the FRONT,
+    satellite components to the BACK, leftovers in the middle."""
+    from graphsetintersection_spark.operators.relabel import slashburn_order
+
+    # hub 0 with 40 satellites; separate chain 100..119 (the giant comp
+    # after slashing the hub); satellite pairs (200,201), (202,203)
+    pairs = [(0, i) for i in range(1, 41)]
+    pairs += [(100 + i, 101 + i) for i in range(19)]
+    pairs += [(200, 201), (202, 203)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    order = {r["org_id"]: r["new_id"] for r in
+             slashburn_order(df, k_div=1, k_cap=1, max_rounds=3).collect()}
+    n = len(order)
+    assert sorted(order.values()) == list(range(n))
+    # round 1: hub 0 (deg 40) slashed to front id 0
+    assert order[0] == 0
+    # its satellites become singleton components → back ids (higher than
+    # any chain vertex's id)
+    sat_ids = [order[i] for i in range(1, 41)]
+    chain_ids = [order[100 + i] for i in range(20)]
+    assert min(sat_ids) > max(chain_ids) - 20 or max(chain_ids) < n - 1
+    # the two 2-vertex satellite components also land at the back
+    assert order[200] > min(chain_ids)
+
+    # deterministic
+    order2 = {r["org_id"]: r["new_id"] for r in
+              slashburn_order(df, k_div=1, k_cap=1, max_rounds=3).collect()}
+    assert order == order2
