@@ -308,6 +308,66 @@ def leaf_node_count(edges: DataFrame) -> int:
     return degrees(edges).where(F.col("deg") == 1).count()
 
 
+def dfs_order(
+    edges: DataFrame, max_driver_vertices: int = 2_000_000
+) -> DataFrame:
+    """DFS preorder (org_id, new_id) — reference dfs_order
+    (src/porder.cpp:497-533): iterative depth-first preorder over the
+    directed out-adjacency (neighbors in ascending id order — the
+    reference's sorted CSR), restarting from the smallest unvisited id.
+
+    DFS is inherently sequential (a single stack defines the order), so —
+    like ``degeneracy_order`` and ``greedy_mheap_order`` — it runs
+    driver-side over numpy CSR with a vertex cap; the scalable member of
+    the locality family is ``bfs_order``."""
+    import numpy as np
+
+    spark = edges.sparkSession
+    e = canonicalize(edges)
+    rows = (
+        e.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+        .collect()
+    )
+    vs = {int(r["src"]) for r in rows}
+    for r in rows:
+        vs.update(int(u) for u in r["nbrs"])
+    if len(vs) > max_driver_vertices:
+        raise ValueError("graph too large for driver-side dfs order")
+    ids = np.array(sorted(vs), dtype=np.int64)
+    idx_of = {int(v): i for i, v in enumerate(ids)}
+    n = len(ids)
+    nbrs: list = [np.empty(0, dtype=np.int64)] * n
+    for r in rows:
+        nbrs[idx_of[int(r["src"])]] = np.array(
+            [idx_of[int(u)] for u in r["nbrs"]], dtype=np.int64
+        )
+    new_id = np.full(n, -1, dtype=np.int64)
+    ptr = np.zeros(n, dtype=np.int64)  # per-vertex resume position
+    cur = 0
+    for root in range(n):
+        if new_id[root] != -1:
+            continue
+        new_id[root] = cur
+        cur += 1
+        stack = [root]
+        while stack:
+            u = stack[-1]
+            advanced = False
+            while ptr[u] < len(nbrs[u]):
+                v = int(nbrs[u][ptr[u]])
+                ptr[u] += 1
+                if new_id[v] == -1:
+                    new_id[v] = cur
+                    cur += 1
+                    stack.append(v)
+                    advanced = True
+                    break
+            if not advanced:
+                stack.pop()
+    out = [(int(ids[i]), int(new_id[i])) for i in range(n)]
+    return spark.createDataFrame(out, "org_id long, new_id long")
+
+
 def greedy_mheap_order(
     edges: DataFrame,
     window: int = PACK_WIDTH,

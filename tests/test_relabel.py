@@ -244,3 +244,18 @@ def test_slashburn_order_structure(spark):
     order2 = {r["org_id"]: r["new_id"] for r in
               slashburn_order(df, k_div=1, k_cap=1, max_rounds=3).collect()}
     assert order == order2
+
+
+def test_dfs_order_preorder(spark):
+    """DFS preorder semantics vs a hand-computed trace (reference
+    src/porder.cpp:497-533: ascending-id neighbor visits, smallest
+    unvisited restart)."""
+    from graphsetintersection_spark.operators.relabel import dfs_order
+
+    # 0→{2,5}, 2→{3}, 5→{}, separate component 7→{8}
+    df = spark.createDataFrame(
+        [(0, 2), (0, 5), (2, 3), (7, 8)], "src long, dst long"
+    )
+    order = {r["org_id"]: r["new_id"] for r in dfs_order(df).collect()}
+    # preorder from 0: 0,2,3,(backtrack),5 then restart at 7: 7,8
+    assert order == {0: 0, 2: 1, 3: 2, 5: 3, 7: 4, 8: 5}
