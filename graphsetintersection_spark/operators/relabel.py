@@ -368,6 +368,98 @@ def dfs_order(
     return spark.createDataFrame(out, "org_id long, new_id long")
 
 
+def bfsr_order(
+    edges: DataFrame,
+    min_part: int = 32,
+    max_driver_vertices: int = 2_000_000,
+) -> DataFrame:
+    """Recursive-BFS-bisection ordering (org_id, new_id) — reference
+    bfsr_order / bfsr_bisection (src/porder.cpp:1116-1213): recursively
+    split the vertex set in half by BFS reach — seed at the BFS-farthest
+    vertex of the part, grow a BFS region to ~half the part, recurse on
+    both halves; final ids are the concatenated recursion layout, so
+    well-connected regions get contiguous id ranges at every scale of the
+    recursion (a locality layout of the graph-bisection family).
+
+    Driver-side over numpy CSR like the other sequential orderings
+    (single recursion defines the order); parts below ``min_part`` are
+    kept as-is (reference: tot_num < 32). Within-half ordering is the
+    deterministic BFS discovery order rather than the reference's
+    in-place swap residue — same bisection scheme, reproducible output."""
+    import numpy as np
+
+    spark = edges.sparkSession
+    und = symmetrize(canonicalize(edges))
+    rows = (
+        und.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+        .collect()
+    )
+    if len(rows) > max_driver_vertices:
+        raise ValueError("graph too large for driver-side bfsr order")
+    ids = np.array(sorted(r["src"] for r in rows), dtype=np.int64)
+    idx_of = {int(v): i for i, v in enumerate(ids)}
+    n = len(ids)
+    nbrs: list = [np.empty(0, dtype=np.int64)] * n
+    for r in rows:
+        nbrs[idx_of[int(r["src"])]] = np.array(
+            [idx_of[int(u)] for u in r["nbrs"]], dtype=np.int64
+        )
+
+    in_part = np.full(n, -1, dtype=np.int64)
+    part_label = [0]
+
+    def bfs_within(seed_order: list, limit: int, label: int) -> list:
+        """BFS over the current part (vertices with in_part == label),
+        seeded from ``seed_order`` in order, growing up to ``limit``
+        vertices; returns discovery order. Visited vertices get -label."""
+        out: list = []
+        for s in seed_order:
+            if len(out) >= limit:
+                break
+            if in_part[s] != label:
+                continue
+            in_part[s] = -label
+            queue = [s]
+            out.append(s)
+            qi = 0
+            while qi < len(queue) and len(out) < limit:
+                u = queue[qi]
+                qi += 1
+                for v in nbrs[u]:
+                    if in_part[v] == label:
+                        in_part[v] = -label
+                        queue.append(int(v))
+                        out.append(int(v))
+                        if len(out) >= limit:
+                            break
+        return out
+
+    def bisect(part: list) -> list:
+        if len(part) < min_part:
+            return part
+        part_label[0] += 1
+        label = part_label[0]
+        for v in part:
+            in_part[v] = label
+        # pass 1: full BFS from part[0]; the LAST discovered vertex is the
+        # far seed (reference:1123-1141)
+        reach = bfs_within(part, len(part), label)
+        far = reach[-1]
+        for v in part:
+            in_part[v] = label
+        # pass 2: grow the left half from the far seed (then remaining
+        # part order as further seeds, reference:1148-1165)
+        seeds = [far] + [v for v in part if v != far]
+        left = bfs_within(seeds, len(part) // 2, label)
+        left_set = set(left)
+        right = [v for v in part if v not in left_set]
+        return bisect(left) + bisect(right)
+
+    layout = bisect(list(range(n)))
+    out = [(int(ids[v]), pos) for pos, v in enumerate(layout)]
+    return spark.createDataFrame(out, "org_id long, new_id long")
+
+
 def greedy_mheap_order(
     edges: DataFrame,
     window: int = PACK_WIDTH,

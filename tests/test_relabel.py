@@ -259,3 +259,30 @@ def test_dfs_order_preorder(spark):
     order = {r["org_id"]: r["new_id"] for r in dfs_order(df).collect()}
     # preorder from 0: 0,2,3,(backtrack),5 then restart at 7: 7,8
     assert order == {0: 0, 2: 1, 3: 2, 5: 3, 7: 4, 8: 5}
+
+
+def test_bfsr_order_bisection_locality(spark):
+    """BFS-bisection (reference src/porder.cpp:1116-1213): a dense
+    permutation whose recursive halves are BFS-connected regions — on the
+    scrambled grid it must densify comp_ratio vs the original ids."""
+    from graphsetintersection_spark.operators.relabel import bfsr_order
+
+    W, D = 16, 24
+    n = W * D
+
+    def vid(x, y):
+        return ((y * W + x) * 91) % n
+
+    pairs = []
+    for y in range(D):
+        for x in range(W):
+            if x + 1 < W:
+                pairs.append((vid(x, y), vid(x + 1, y)))
+            if y + 1 < D:
+                pairs.append((vid(x, y), vid(x, y + 1)))
+    pairs = pairs + [(b, a) for a, b in pairs]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    order = bfsr_order(df)
+    rows = {r["org_id"]: r["new_id"] for r in order.collect()}
+    assert sorted(rows.values()) == list(range(n))
+    assert comp_ratio(apply_order(df, order)) < comp_ratio(df) * 0.8
