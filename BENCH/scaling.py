@@ -246,7 +246,10 @@ conservative lower bound for the shuffle-bound phases.
 Raw (pooled): {json.dumps(r_lo)}
               {json.dumps(r_hi)}
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # BENCH/BASELINE.md is hand-curated (it carries controls, at-scale
+    # PageRank/TC sections and round notes) — write the regenerated core
+    # table next to it instead of clobbering it
+    with open(os.path.join(REPO, "BENCH", "SCALING_RUN.md"), "w") as f:
         f.write(md)
     print(md)
 
