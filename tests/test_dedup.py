@@ -116,6 +116,51 @@ def test_simhash_near_dups(spark, docs_with_dups):
     assert all(ham[(i, i + 10000)] == 0 for i in range(20))
 
 
+def test_simhash_neardup_pairs_verified(spark, docs_with_dups):
+    """Candidate→verify pipeline: every emitted pair carries its TRUE
+    jaccard ≥ threshold (precision exact), and all planted exact/near
+    copies are found at a loose Hamming budget."""
+    from graphsetintersection_spark.functions.dedup import simhash_neardup_pairs
+
+    out = simhash_neardup_pairs(
+        docs_with_dups, max_hamming=7, threshold=0.5, verify_hashed=False
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs_with_dups.collect()}
+    for (a, b), j in got.items():
+        assert j >= 0.5
+        assert py_jaccard(texts[a], texts[b]) == pytest.approx(j, abs=1e-12)
+    for i in range(20):
+        assert (i, i + 10000) in got  # exact copies: hamming 0
+    assert sum((i, i + 20000) in got for i in range(20, 40)) >= 18
+
+
+def test_jaccard_for_pairs_mode_parity(spark, docs_with_dups):
+    """verify_mode='index' and 'pairs' must produce identical jaccards
+    for the same candidate set (they are two join strategies, not two
+    semantics)."""
+    from graphsetintersection_spark.functions.dedup import jaccard_for_pairs
+
+    sub = docs_with_dups.where(F.col("doc_id") < 40)
+    cand = spark.createDataFrame(
+        [(a, b) for a in range(0, 40, 3) for b in range(a + 1, 40, 7)],
+        "id_a long, id_b long",
+    )
+    jp = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_for_pairs(sub, cand, mode="pairs").collect()
+    }
+    ji = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_for_pairs(sub, cand, mode="index").collect()
+    }
+    # both modes keep every candidate pair (left join from pairs),
+    # jaccard 0 when disjoint
+    assert set(jp) == set(ji)
+    for k in jp:
+        assert jp[k] == pytest.approx(ji[k], abs=1e-12)
+
+
 def test_signature_builds_are_map_side_combinable(spark):
     """MinHash/SimHash signature aggregation must be partial (map-side
     combinable) with an O(P) buffer — not a collect_list of per-token
