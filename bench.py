@@ -52,12 +52,32 @@ def main() -> None:
 
     spark = get_spark(app_name="gsi-bench", master=f"local[{CPUS}]")
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     throughput: dict[str, float] = {}
 
-    def timed(name, fn):
+    # Sub-REPEAT_BUDGET queries are re-run to a median-of-3: the first
+    # execution of a query carries its codegen/JIT compile cost (measured:
+    # lang_id run 1 = 2.8s, runs 2-5 = 0.7s), which is driver-side latency
+    # noise, not per-row throughput — single-shot numbers made sub-second
+    # round-over-round diffs meaningless (VERDICT r3 #3/#7). Heavy
+    # pipeline stages (> budget) stay single-shot: their compile share is
+    # proportionally negligible, and the stateful ones (persist/caching
+    # builders) must not run twice.
+    REPEAT_BUDGET = 3.0
+    REPEATS = 3
+
+    def timed(name, fn, repeatable=True):
         t0 = time.perf_counter()
         out = fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        times = [time.perf_counter() - t0]
+        if repeatable and times[0] < REPEAT_BUDGET:
+            for _ in range(REPEATS - 1):
+                t0 = time.perf_counter()
+                fn()
+                times.append(time.perf_counter() - t0)
+        times.sort()
+        timings[name] = round(times[len(times) // 2], 3)
+        spreads[name] = [round(times[0], 3), round(times[-1], 3)]
         return out
 
     # ---- corpus scale: ~1 page per 30 lineitem rows (sf0.1 → ~20k pages)
@@ -81,7 +101,7 @@ def main() -> None:
         state["edges"], state["deg"] = edges, deg
         return relabeled, n_edges
 
-    relabeled, n_edges = timed("pages_to_edges_relabel", build_graph)
+    relabeled, n_edges = timed("pages_to_edges_relabel", build_graph, repeatable=False)
     edges_orig = state["edges"]
 
     # ---- comp_ratio densification evidence (the reorder story,
@@ -91,12 +111,12 @@ def main() -> None:
     from graphsetintersection_spark.operators.relabel import bfs_order, comp_ratio
 
     comp = {}
-    t0 = time.perf_counter()
-    comp["original"] = round(comp_ratio(edges_orig), 4)
-    timings["comp_ratio_original"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    comp["degree_relabeled"] = round(comp_ratio(relabeled), 4)
-    timings["comp_ratio_relabeled"] = round(time.perf_counter() - t0, 3)
+    comp["original"] = round(
+        timed("comp_ratio_original", lambda: comp_ratio(edges_orig)), 4
+    )
+    comp["degree_relabeled"] = round(
+        timed("comp_ratio_relabeled", lambda: comp_ratio(relabeled)), 4
+    )
 
     def build_bfs():
         bo = bfs_order(edges_orig).select(
@@ -106,10 +126,10 @@ def main() -> None:
         br.count()
         return br
 
-    bfs_rel = timed("bfs_order_relabel", build_bfs)
-    t0 = time.perf_counter()
-    comp["bfs_relabeled"] = round(comp_ratio(bfs_rel), 4)
-    timings["comp_ratio_bfs"] = round(time.perf_counter() - t0, 3)
+    bfs_rel = timed("bfs_order_relabel", build_bfs, repeatable=False)
+    comp["bfs_relabeled"] = round(
+        timed("comp_ratio_bfs", lambda: comp_ratio(bfs_rel)), 4
+    )
 
     # ---- triangle count (Arrow kernel) — north-rule throughput metric.
     # "triangle_count_kernel" times the uint kernel explicitly (the key's
@@ -160,6 +180,7 @@ def main() -> None:
     prep = timed(
         "pagerank_kernel_prepare",
         lambda: pagerank_kernel_prepare(relabeled, relabel=False),
+        repeatable=False,  # persists its result — must build exactly once
     )
     timed(
         "pagerank_kernel_iters",
@@ -210,6 +231,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
                 "sf": _sf_from_dir(SF_DIR),
                 "n_pages": n_pages,
                 "n_edges": n_edges,

@@ -284,21 +284,35 @@ def minhash_lsh_pairs(
     where candidates stay sparse."""
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(docs, num_perm, n, id_col, text_col)
-    banded = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(bi).alias("band"),
-                    F.xxhash64(
-                        F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band)
-                    ).alias("bucket"),
-                )
-                for bi in range(bands)
-            ])
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    # persist: the banded self-join references the signature subtree on
+    # both sides — unpersisted, the full shingle+aggregate pipeline runs
+    # twice
+    sigs = minhash_signatures(docs, num_perm, n, id_col, text_col).persist()
+    if rows_per_band == 1:
+        # high-recall regime: each band is a single minhash — the bucket
+        # IS the value, so one posexplode replaces `bands` slice+hash
+        # struct expressions (whose generated code dominates wall time at
+        # bands ≥ 256)
+        banded = sigs.select(
+            "doc_id", F.posexplode("sig").alias("band", "bucket")
+        )
+    else:
+        banded = sigs.select(
+            "doc_id",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.slice(
+                                F.col("sig"), bi * rows_per_band + 1, rows_per_band
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ])
+            ).alias("bb"),
+        ).select("doc_id", "bb.band", "bb.bucket")
     a = banded.select(F.col("doc_id").alias("id_a"), "band", "bucket")
     b = banded.select(F.col("doc_id").alias("id_b"), "band", "bucket")
     cand = (
@@ -309,6 +323,10 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
+    # the verify references the candidate set several times (doc
+    # restriction, intersection keep, final left join) — persist so the
+    # banded join runs once
+    cand = cand.persist()
     exact = jaccard_for_pairs(
         docs, cand, n=n, id_col=id_col, text_col=text_col,
         hashed=verify_hashed, mode=verify_mode,
@@ -447,7 +465,9 @@ def simhash_pairs(
     Block-rotation LSH: split 64 bits into (max_hamming+1) blocks; any pair
     within distance k must agree exactly on ≥1 block (pigeonhole) → join on
     (block_idx, block_value), verify Hamming distance with bit_count."""
-    sigs = simhash_signatures(docs, id_col, text_col)
+    # persist: the block self-join references the signature subtree on
+    # both sides
+    sigs = simhash_signatures(docs, id_col, text_col).persist()
     nblocks = max_hamming + 1
     width = 64 // nblocks
     blocks = sigs.select(
@@ -510,7 +530,7 @@ def simhash_neardup_pairs(
     SQL oracle; pytest covers the tight-budget approximate regime."""
     cand = simhash_pairs(
         docs, max_hamming=max_hamming, id_col=id_col, text_col=text_col
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").persist()
     exact = jaccard_for_pairs(
         docs, cand, n=n, id_col=id_col, text_col=text_col,
         hashed=verify_hashed, mode=verify_mode,
