@@ -161,6 +161,15 @@ def main() -> None:
     )
     assert tri_bsr_bfs == tri, "BSR on BFS relabel diverged"
     bfs_rel.unpersist()
+    # kernel profiling counters — the reference's per-run print
+    # (src/tc.cpp:46: "intersect times / compare times"); untimed so the
+    # headline keys stay pure
+    from graphsetintersection_spark.operators.triangle import (
+        triangle_count_kernel_with_stats,
+    )
+
+    tri_s, tc_counters = triangle_count_kernel_with_stats(relabeled)
+    assert tri_s == tri, "stats-variant kernel diverged"
 
     # ---- PageRank iterations — north-rule throughput metric.
     # DataFrame path (checkpointable/resumable) and the broadcast-vector
@@ -236,6 +245,7 @@ def main() -> None:
                 "n_pages": n_pages,
                 "n_edges": n_edges,
                 "triangles": tri,
+                "tc_counters": tc_counters,
                 "comp_ratio": comp,
                 "cpus": CPUS,
                 "throughput": throughput,

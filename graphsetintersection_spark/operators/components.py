@@ -39,6 +39,39 @@ class ComponentsResult:
     converged: bool
 
 
+def cc_minlabel_round(und_j, labels, salt_plan=None):
+    """One synchronous min-label round over the symmetrized edge set:
+    every vertex takes min(own label, incoming neighbor labels). ``und_j``
+    must carry a ``_hub`` column when ``salt_plan`` is given (mark_hubs).
+
+    min is map-side combinable; with a salt plan, hub dsts pre-combine
+    under salts so no single reducer owns a whole hub (the Zipf-hub
+    shuffle-skew guard shared with PageRank/LPA, plans.skew)."""
+    from graphsetintersection_spark.plans.skew import two_stage_agg
+
+    joined = und_j.join(labels.withColumnRenamed("v", "src"), "src")
+    if salt_plan is not None:
+        nbr_min = two_stage_agg(
+            joined.withColumnRenamed("dst", "v"),
+            ["v"],
+            F.min("component"),
+            F.min,
+            salt_from="src",
+            salts=salt_plan.salts,
+            out_col="nbr_min",
+        )
+    else:
+        nbr_min = joined.groupBy(F.col("dst").alias("v")).agg(
+            F.min("component").alias("nbr_min")
+        )
+    return labels.join(nbr_min, "v", "left").select(
+        "v",
+        F.least(
+            F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+        ).alias("component"),
+    )
+
+
 def connected_components_minlabel(
     edges: DataFrame,
     max_rounds: int = 50,
@@ -58,7 +91,6 @@ def connected_components_minlabel(
         content_signature,
         decide_hub_salting,
         mark_hubs,
-        two_stage_agg,
     )
 
     spark = edges.sparkSession
@@ -86,30 +118,7 @@ def connected_components_minlabel(
     rounds = start
     prev_snapshot: DataFrame | None = None  # superseded localCheckpoint
     for rounds in range(start, max_rounds):
-        # min over incoming neighbor labels (und has both directions);
-        # min is map-side combinable, and hub dsts optionally pre-combine
-        # under salts so no single reducer owns a whole hub
-        joined = und_j.join(labels.withColumnRenamed("v", "src"), "src")
-        if plan is not None:
-            nbr_min = two_stage_agg(
-                joined.withColumnRenamed("dst", "v"),
-                ["v"],
-                F.min("component"),
-                F.min,
-                salt_from="src",
-                salts=plan.salts,
-                out_col="nbr_min",
-            )
-        else:
-            nbr_min = joined.groupBy(F.col("dst").alias("v")).agg(
-                F.min("component").alias("nbr_min")
-            )
-        new_labels = labels.join(nbr_min, "v", "left").select(
-            "v",
-            F.least(
-                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-            ).alias("component"),
-        )
+        new_labels = cc_minlabel_round(und_j, labels, salt_plan=plan)
         # materialize FIRST (lineage truncation), then one aggregate over
         # the materialized frame decides convergence — no per-round
         # changed-count join-shuffle

@@ -137,12 +137,15 @@ def select_bignode(
     a caller-computed degree table (same contract as degree_order)."""
     if deg is None:
         deg = degrees(edges)
-    total = deg.agg(F.sum("deg")).collect()[0][0] or 0
+    # one aggregate serves both the threshold and the sizing decision
+    tot_row = deg.agg(F.sum("deg"), F.count(F.lit(1))).collect()[0]
+    total, n_verts = tot_row[0] or 0, tot_row[1]
     ranked = global_order_stats(
         deg,
         [F.col("deg").desc(), F.col("v").asc()],
         cumsum_of="deg",
         cumsum_col="cum_deg",
+        approx_rows=n_verts,
     )
     # keep rows until cumulative degree first reaches the threshold
     thresh = float(total) * deg_ratio
@@ -308,6 +311,25 @@ def leaf_node_count(edges: DataFrame) -> int:
     return degrees(edges).where(F.col("deg") == 1).count()
 
 
+def _check_driver_cap(und_or_e: DataFrame, cap: int, opname: str) -> None:
+    """Raise BEFORE collecting the grouped adjacency when the vertex count
+    exceeds the driver cap — one cheap distinct-count aggregate, so the
+    cap can actually prevent the driver OOM it exists for (ADVICE r3 #2;
+    the post-collect check it replaces fired only after the damage)."""
+    n = (
+        und_or_e.select(F.col("src").alias("v"))
+        .union(und_or_e.select(F.col("dst").alias("v")))
+        .distinct()
+        .count()
+    )
+    if n > cap:
+        raise ValueError(
+            f"graph too large for driver-side {opname} ({n:,} vertices > "
+            f"cap {cap:,}) — use a distributed ordering (degree/bfs/"
+            f"slashburn) instead"
+        )
+
+
 def dfs_order(
     edges: DataFrame, max_driver_vertices: int = 2_000_000
 ) -> DataFrame:
@@ -324,6 +346,7 @@ def dfs_order(
 
     spark = edges.sparkSession
     e = canonicalize(edges)
+    _check_driver_cap(e, max_driver_vertices, "dfs order")
     rows = (
         e.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
         .collect()
@@ -331,8 +354,6 @@ def dfs_order(
     vs = {int(r["src"]) for r in rows}
     for r in rows:
         vs.update(int(u) for u in r["nbrs"])
-    if len(vs) > max_driver_vertices:
-        raise ValueError("graph too large for driver-side dfs order")
     ids = np.array(sorted(vs), dtype=np.int64)
     idx_of = {int(v): i for i, v in enumerate(ids)}
     n = len(ids)
@@ -390,12 +411,11 @@ def bfsr_order(
 
     spark = edges.sparkSession
     und = symmetrize(canonicalize(edges))
+    _check_driver_cap(und, max_driver_vertices, "bfsr order")
     rows = (
         und.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
         .collect()
     )
-    if len(rows) > max_driver_vertices:
-        raise ValueError("graph too large for driver-side bfsr order")
     ids = np.array(sorted(r["src"] for r in rows), dtype=np.int64)
     idx_of = {int(v): i for i, v in enumerate(ids)}
     n = len(ids)
@@ -493,14 +513,11 @@ def greedy_mheap_order(
 
     spark = edges.sparkSession
     und = symmetrize(canonicalize(edges))
+    _check_driver_cap(und, max_driver_vertices, "greedy (GRO) order")
     rows = (
         und.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
         .collect()
     )
-    if len(rows) > max_driver_vertices:
-        raise ValueError(
-            "graph too large for driver-side greedy order — use degree_order"
-        )
     ids = np.array(sorted(r["src"] for r in rows), dtype=np.int64)
     idx_of = {int(v): i for i, v in enumerate(ids)}
     nbrs = [None] * len(ids)
@@ -644,7 +661,16 @@ def slashburn_order(
             .collect()
         )
         if not giant:
+            # mirror the normal round-end cleanup: the superseded
+            # rem_verts snapshot and this round's cur2 checkpoint are
+            # dead on this exit path too (ADVICE r3 #3)
+            old_rem = rem_verts
             rem_verts = rem2
+            if old_rem is not rem_verts:
+                old_rem.unpersist()
+            if cur is not und:
+                cur.unpersist()
+            cur2.unpersist()
             remaining = 0
             break
         gcomp = int(giant[0]["component"])

@@ -148,11 +148,19 @@ def triangle_count_arrays(edges: DataFrame) -> int:
     return int(row["tri"] or 0)
 
 
-def _make_count_batches(kernel_fn):
+def _make_count_batches(kernel_fn, acc_inter=None, acc_cmp=None):
     """mapInArrow kernel factory: per batch, one vectorized intersect-count
     over the CSR-shaped Arrow list columns (flat values + offsets — zero
     copy). ``kernel_fn`` is any batch kernel with the
-    (vals_a, lens_a, vals_b, lens_b) contract."""
+    (vals_a, lens_a, vals_b, lens_b) contract.
+
+    ``acc_inter`` / ``acc_cmp`` are optional Spark accumulators mirroring
+    the reference's per-run profiling counters (``inter_cnt`` /
+    ``cmp_cnt``, src/set_operation.cpp:903-905, printed by tc at
+    src/tc.cpp:46): intersections performed (= adjacency pairs, one per
+    oriented edge) and elements scanned (Σ|A|+|B| — the batch analog of
+    the scalar kernels' element comparisons). Accumulators add per batch,
+    so the per-partition partials aggregate exactly like the counts."""
 
     def count_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import numpy as np
@@ -167,12 +175,13 @@ def _make_count_batches(kernel_fn):
             off_b = b.offsets.to_numpy()
             vals_a = a.values.to_numpy().astype(np.int64, copy=False)
             vals_b = b.values.to_numpy().astype(np.int64, copy=False)
-            counts = kernel_fn(
-                vals_a[off_a[0]:off_a[-1]] if len(off_a) else vals_a,
-                np.diff(off_a),
-                vals_b[off_b[0]:off_b[-1]] if len(off_b) else vals_b,
-                np.diff(off_b),
-            )
+            va = vals_a[off_a[0]:off_a[-1]] if len(off_a) else vals_a
+            vb = vals_b[off_b[0]:off_b[-1]] if len(off_b) else vals_b
+            counts = kernel_fn(va, np.diff(off_a), vb, np.diff(off_b))
+            if acc_inter is not None:
+                acc_inter.add(int(batch.num_rows))
+            if acc_cmp is not None:
+                acc_cmp.add(int(len(va) + len(vb)))
             yield pa.RecordBatch.from_arrays(
                 [pa.array(counts.sum(keepdims=True), type=pa.int64())], ["tri"]
             )
@@ -182,6 +191,36 @@ def _make_count_batches(kernel_fn):
 
 _count_batches = _make_count_batches(batch_intersect_count)
 _count_batches_bsr = _make_count_batches(batch_bsr_intersect_count)
+
+
+def triangle_count_kernel_with_stats(
+    edges: DataFrame,
+    hub_deg_ratio: float | None | str = "auto",
+    kernel: str = "bsr",
+) -> tuple[int, dict]:
+    """``triangle_count_kernel`` + the reference's profiling counters as
+    Spark accumulators: returns (triangles, {"inter_cnt": .., "cmp_cnt":
+    ..}) — the engine analog of tc's per-run print (src/tc.cpp:46;
+    counters maintained at src/set_operation.cpp:903-905). inter_cnt =
+    adjacency-pair intersections executed (one per oriented edge);
+    cmp_cnt = list elements scanned by the batch kernels."""
+    from graphsetintersection_spark.kernels import (
+        batch_bsr_intersect_count as _bsr,
+        batch_intersect_count as _uint,
+    )
+
+    sc = edges.sparkSession.sparkContext
+    acc_i, acc_c = sc.accumulator(0), sc.accumulator(0)
+    base = {"uint": _uint, "bsr": _bsr}[kernel]
+    fn = _make_count_batches(base, acc_inter=acc_i, acc_cmp=acc_c)
+    joined, persisted = _edge_with_lower_adj(edges, hub_deg_ratio)
+    partials = joined.mapInArrow(fn, "tri long")
+    row = partials.agg(F.sum("tri").alias("tri")).collect()[0]
+    if persisted is not None:
+        persisted.unpersist()
+    return int(row["tri"] or 0), {
+        "inter_cnt": int(acc_i.value), "cmp_cnt": int(acc_c.value)
+    }
 
 
 def triangle_count_kernel(

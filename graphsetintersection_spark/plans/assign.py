@@ -61,17 +61,41 @@ def global_order_stats(
     (integer semantics, emitted as bigint).
 
     ``approx_rows`` lets callers that already know the input size skip the
-    sizing count; when omitted one ``count()`` decides fast path vs
-    two-phase. The returned frame is eagerly materialized and
-    self-contained (see module docstring).
+    sizing count. When omitted, the input is persisted for the DURATION OF
+    THIS CALL before counting, so the sizing count and the ranking job
+    share one computation of the input — previously the count was a full
+    extra pass over an unpersisted input (ADVICE r3 #5), and the
+    two-phase path's range-boundary sampling silently recomputed it a
+    third time. Inputs the caller already cached are counted from their
+    cache and never re-persisted (re-persisting the same plan would let
+    the finally-unpersist drop the CALLER's cache). The returned frame is
+    eagerly materialized and self-contained (see module docstring).
     """
     if rank_col is None and cumsum_col is None:
         raise ValueError("request at least one of rank_col / cumsum_col")
     if (cumsum_col is None) != (cumsum_of is None):
         raise ValueError("cumsum_col and cumsum_of go together")
-    spark = df.sparkSession
 
-    n_rows = approx_rows if approx_rows is not None else df.count()
+    cached_here = False
+    if approx_rows is not None:
+        n_rows = approx_rows
+    elif df.is_cached:
+        n_rows = df.count()
+    else:
+        df = df.persist()
+        cached_here = True
+        n_rows = df.count()
+    try:
+        return _ranked(df, order_exprs, rank_col, cumsum_of, cumsum_col,
+                       num_partitions, n_rows)
+    finally:
+        if cached_here:
+            df.unpersist()
+
+
+def _ranked(df, order_exprs, rank_col, cumsum_of, cumsum_col,
+            num_partitions, n_rows):
+    spark = df.sparkSession
     if n_rows <= SMALL_INPUT_ROWS:
         # fast path: one reducer sorts the whole (small) frame. The window
         # partitions on a materialized spark_partition_id column (constant

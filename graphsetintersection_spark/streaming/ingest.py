@@ -78,7 +78,84 @@ def start_edge_sink(
 SESSION_OUT_SCHEMA = (
     "user_id long, session_start long, session_end long, n_events long"
 )
-_SESSION_STATE_SCHEMA = "ts array<long>"
+_SESSION_STATE_SCHEMA = "sess_start long, sess_n long, ts array<long>"
+
+
+def _sessionize_step(buf_state, new_ts, wm, gap):
+    """Pure per-key sessionization step (unit-testable without Spark).
+
+    buf_state = (sess_start, sess_n, tail_ts) — the earliest open
+    session's compacted prefix (its start + how many of its events sit
+    below the compaction cutoff; sess_n == 0 ⇔ no prefix) plus the raw
+    buffered timestamps ≥ cutoff. Returns
+    (closed_sessions, new_state_or_None, timeout_ts_ms_or_None).
+
+    Compaction invariant: an admitted event has ts ≥ wm, a compacted
+    timestamp has ts < wm − gap, so their difference is strictly > gap —
+    a compacted event can never be within gap of any future event, and
+    since inserting events can never SPLIT a session chain (if e lands
+    between consecutive chained t₀ < t₁ then e − t₀ < t₁ − t₀ ≤ gap),
+    the prefix's only observable effect on future output is (start, n).
+    The open session's LAST timestamp always stays in the tail (if every
+    event were < wm − gap the session end would be < wm − gap and the
+    session would already be watermark-closed), so the chain from prefix
+    into tail is preserved."""
+    sess_start, sess_n, buf = buf_state
+    merged = sorted(list(buf) + list(new_ts))
+    if not merged:
+        # state exists only while the earliest open session has a tail
+        # timestamp (see invariant) — empty merged means no open session
+        return [], None, None
+
+    # derive sessions from the buffered tail + new events
+    sessions: list[list[int]] = []  # [start, last, n]
+    s = last = merged[0]
+    n = 1
+    for e in merged[1:]:
+        if e - last > gap:
+            sessions.append([s, last, n])
+            s, last, n = e, e, 1
+        else:
+            last = e
+            n += 1
+    sessions.append([s, last, n])
+    if sess_n > 0:
+        # the compacted prefix chains into the FIRST derived session:
+        # prefix timestamps are the smallest (everything else is ≥
+        # wm − gap of some earlier batch, newer events are ≥ that wm)
+        sessions[0][0] = sess_start
+        sessions[0][2] += sess_n
+
+    # STRICT close: an event at exactly ts = end + gap would still merge
+    # (gap is inclusive), and Spark admits events with ts == watermark
+    closed = [c for c in sessions if c[1] + gap < wm]
+    still_open = sessions[len(closed):]
+    if not still_open:
+        return closed, None, None
+
+    first = still_open[0]
+    cutoff = wm - gap
+    # `carried`: the old compacted prefix rode into the first derived
+    # session; if that session closed, the prefix left with it
+    carried = sess_n if len(closed) == 0 and sess_n > 0 else 0
+    # merged elements belonging to open sessions (suffix of `merged`)
+    open_merged_count = sum(c[2] for c in still_open) - carried
+    open_ts = merged[len(merged) - open_merged_count:]
+    # tail keeps every open-session timestamp a future (ts ≥ wm) event
+    # could still be within gap of; the first open session's below-cutoff
+    # events compact into (start, n). Later open sessions start after
+    # first.end + gap ≥ wm, so the value filter never touches them.
+    tail = [t for t in open_ts if t >= cutoff]
+    first_merged_n = first[2] - carried  # its events present in `merged`
+    below = sum(1 for t in open_ts[:first_merged_n] if t < cutoff)
+    new_sess_n = carried + below
+    new_sess_start = first[0] if new_sess_n > 0 else -1
+    new_state = (new_sess_start, new_sess_n, tail)
+    # wake up just past the earliest open session's close point (+1 ms
+    # keeps the timestamp strictly above the watermark even when
+    # end + gap == wm)
+    timeout_ms = (first[1] + gap) * 1000 + 1
+    return closed, new_state, timeout_ms
 
 
 def stream_sessionize(
@@ -94,15 +171,17 @@ def stream_sessionize(
     join or split it — so the emitted sessions are EXACTLY the batch
     sessionizer's output over all non-late events, in any arrival order.
 
-    State per user = the event timestamps of sessions not yet
-    watermark-closed (bounded by the watermark horizon × per-user event
-    rate); each batch merges new events into the buffer, re-derives
-    sessions from the sorted set, emits the watermark-closed prefix and
-    keeps the rest. (The r2 version closed a session eagerly when a
-    past-gap event arrived and kept only (start, last, n) — an
-    out-of-order event inside the watermark could then move the open
-    session's end BACKWARDS or be wrongly split; re-deriving from the
-    buffered set removes that divergence. ADVICE r2 #1.)
+    State per user = the earliest open session's COMPACTED PREFIX
+    (start, n) plus only the buffered timestamps ≥ watermark − gap
+    (``_sessionize_step``): timestamps older than that can never be
+    within gap of any admissible future event, so they carry no
+    information beyond their count. This bounds state at
+    O(events inside one watermark-plus-gap horizon) per key even for a
+    key that never goes idle — the r3 version buffered EVERY timestamp
+    of a never-closing session, growing without limit (ADVICE r3 #1).
+    Out-of-order events inside the watermark still merge exactly (the
+    r2→r3 re-derive fix is preserved — sessions are re-derived from the
+    buffered set each batch).
 
     Epoch seconds in the output keep the comparison engine-neutral."""
     import pandas as pd  # noqa: F401  (worker-side import)
@@ -118,39 +197,19 @@ def stream_sessionize(
             for pdf in pdfs:
                 es = (pdf["ts"].astype("int64") // 1_000_000_000).tolist()
                 new_ts.extend(int(x) for x in es)
-        buf = list(state.get[0]) if state.exists else []
-        merged = sorted(buf + new_ts)
-        if not merged:
-            if state.exists:
-                state.remove()
-            return
-
-        # derive sessions from the full (sorted) buffered event set
-        sessions: list[tuple[int, int, int]] = []
-        s = last = merged[0]
-        n = 1
-        for e in merged[1:]:
-            if e - last > gap:
-                sessions.append((s, last, n))
-                s, last, n = e, e, 1
-            else:
-                last = e
-                n += 1
-        sessions.append((s, last, n))
-
-        wm = state.getCurrentWatermarkMs() // 1000
-        # STRICT close: an event at exactly ts = end + gap would still merge
-        # (gap is inclusive), and Spark admits events with ts == watermark
-        closed = [c for c in sessions if c[1] + gap < wm]
-        still_open = sessions[len(closed):]
-        if still_open:
-            cutoff = still_open[0][0]
-            state.update(([t for t in merged if t >= cutoff],))
-            # wake up just past the earliest open session's close point
-            # (+1 ms keeps the timestamp strictly above the watermark even
-            # when end + gap == wm)
-            state.setTimeoutTimestamp((still_open[0][1] + gap) * 1000 + 1)
+        if state.exists:
+            sess_start, sess_n, buf = state.get
+            buf = list(buf)
         else:
+            sess_start, sess_n, buf = -1, 0, []
+        wm = state.getCurrentWatermarkMs() // 1000
+        closed, new_state, timeout_ms = _sessionize_step(
+            (sess_start, sess_n, buf), new_ts, wm, gap
+        )
+        if new_state is not None:
+            state.update(new_state)
+            state.setTimeoutTimestamp(timeout_ms)
+        elif state.exists:
             state.remove()
         if closed:
             yield pd.DataFrame(

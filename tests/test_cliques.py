@@ -143,3 +143,70 @@ def test_cliques_partial_order_guard(spark):
     )  # vertex 3 missing
     got = _collect_cliques(maximal_cliques(df, order=order))
     assert (0, 1, 2) in got
+
+
+def test_bk_arrays_oversized_group_bounded_time():
+    """A >16,384-member group must route through _bk_arrays and complete
+    in bounded time — the pivot scan is one vectorized stack+searchsorted
+    pass, not a per-candidate Python loop (VERDICT r3 #5). 17,000
+    vertices as 4,250 disjoint K4s; oracle: exactly the K4s. No Spark:
+    the per-group kernel is pure numpy."""
+    import time
+
+    import numpy as np
+
+    from graphsetintersection_spark.operators.cliques import _bk_arrays
+
+    n_groups = 4_250
+    n = n_groups * 4
+    adj_list = []
+    for v in range(n):
+        g = v // 4
+        adj_list.append(
+            np.array([u for u in range(g * 4, g * 4 + 4) if u != v],
+                     dtype=np.int64)
+        )
+    out: list = []
+    t0 = time.perf_counter()
+    _bk_arrays(adj_list, np.arange(n, dtype=np.int64),
+               np.empty(0, dtype=np.int64), [], out)
+    elapsed = time.perf_counter() - t0
+    expect = [[g * 4, g * 4 + 1, g * 4 + 2, g * 4 + 3] for g in range(n_groups)]
+    assert sorted(out) == expect
+    assert elapsed < 60, f"oversized-group BK took {elapsed:.1f}s"
+
+
+def test_bk_arrays_pivot_parity_small():
+    """Vectorized pivot selection must leave BK output identical to the
+    bitset kernel on random graphs (the two kernels' parity grid)."""
+    import random
+
+    import numpy as np
+
+    from graphsetintersection_spark.operators.cliques import (
+        _bk_arrays,
+        _bk_bitset,
+        _mask_from_idx,
+    )
+
+    rnd = random.Random(3)
+    for trial in range(5):
+        n = 40
+        edges = {(a, b) for a in range(n) for b in range(a + 1, n)
+                 if rnd.random() < 0.25}
+        adj_sets = [set() for _ in range(n)]
+        for a, b in edges:
+            adj_sets[a].add(b)
+            adj_sets[b].add(a)
+        adj_list = [np.array(sorted(s), dtype=np.int64) for s in adj_sets]
+        out_a: list = []
+        _bk_arrays(adj_list, np.arange(n, dtype=np.int64),
+                   np.empty(0, dtype=np.int64), [], out_a)
+        words = (n + 63) >> 6
+        adj_bits = np.stack([
+            _mask_from_idx(adj_list[v], words) for v in range(n)
+        ])
+        full = _mask_from_idx(np.arange(n, dtype=np.int64), words)
+        out_b: list = []
+        _bk_bitset(adj_bits, full, np.zeros(words, dtype=np.uint64), [], out_b)
+        assert sorted(out_a) == sorted(out_b)

@@ -217,3 +217,104 @@ def test_sessionize_out_of_order_across_batches(spark, tmp_path):
         (1, epoch, epoch + 45 * 60, 3),          # late t45 merged, end FORWARD
         (1, epoch + 100 * 60, epoch + 100 * 60, 1),
     ]
+
+
+# ---- pure-step unit tests (no Spark): state compaction + batch parity
+
+
+def _batch_sessions(events, gap):
+    """Batch oracle: sort, chain with gap, emit (start, end, n)."""
+    ev = sorted(events)
+    if not ev:
+        return []
+    out = []
+    s = last = ev[0]
+    n = 1
+    for e in ev[1:]:
+        if e - last > gap:
+            out.append((s, last, n))
+            s, last, n = e, e, 1
+        else:
+            last = e
+            n += 1
+    out.append((s, last, n))
+    return out
+
+
+def _drive_step(batches, gap, wm_delay):
+    """Feed batches through _sessionize_step with a Spark-like watermark
+    (wm = max event time seen in PRIOR batches − delay; events below the
+    watermark would have been dropped by Spark, so batches must only
+    contain admissible timestamps). Returns (closed, final_state_sizes)."""
+    from graphsetintersection_spark.streaming.ingest import _sessionize_step
+
+    state = (-1, 0, [])
+    closed_all = []
+    sizes = []
+    wm = 0
+    seen_max = 0
+    for batch in batches:
+        assert all(t >= wm for t in batch), "test fed an inadmissible event"
+        closed, new_state, _ = _sessionize_step(state, batch, wm, gap)
+        closed_all.extend(tuple(c) for c in closed)
+        state = new_state if new_state is not None else (-1, 0, [])
+        sizes.append(len(state[2]))
+        seen_max = max([seen_max] + list(batch))
+        wm = max(wm, seen_max - wm_delay)
+    # final flush: watermark far past everything (the timeout path)
+    closed, new_state, _ = _sessionize_step(state, [], seen_max + 10 * gap, gap)
+    closed_all.extend(tuple(c) for c in closed)
+    assert new_state is None
+    return closed_all, sizes
+
+
+def test_sessionize_step_parity_random_order():
+    """Admissible out-of-order arrivals: step output == batch oracle."""
+    import random
+
+    rnd = random.Random(7)
+    gap, wm_delay = 100, 500
+    events = sorted(rnd.randrange(0, 50_000) for _ in range(400))
+    # deliver in time-bucketed batches with intra-batch shuffling and
+    # small cross-batch disorder (bounded by the watermark delay)
+    batches, cur = [], []
+    for e in events:
+        cur.append(e)
+        if len(cur) == 25:
+            rnd.shuffle(cur)
+            batches.append(cur)
+            cur = []
+    if cur:
+        batches.append(cur)
+    closed, _ = _drive_step(batches, gap, wm_delay)
+    assert sorted(closed) == _batch_sessions(events, gap)
+
+
+def test_sessionize_step_never_idle_key_state_is_bounded():
+    """A key whose events keep arriving within gap forever must NOT grow
+    state without limit: buffered timestamps stay ≤ the watermark+gap
+    horizon's event count, while the open session's (start, n) stays
+    exact (ADVICE r3 #1)."""
+    gap, wm_delay = 100, 300
+    # one event every 50s for 20k steps — a single million-second session
+    step = 50
+    events = [i * step for i in range(20_000)]
+    batches = [events[i : i + 40] for i in range(0, len(events), 40)]
+    closed, sizes = _drive_step(batches, gap, wm_delay)
+    # horizon = (wm_delay + gap) worth of events + one in-flight batch
+    bound = (wm_delay + gap) // step + 41
+    assert max(sizes) <= bound, f"state grew to {max(sizes)} (> {bound})"
+    assert closed == [(0, events[-1], len(events))]
+
+
+def test_sessionize_step_prefix_rides_across_many_batches():
+    """Session start/count survive arbitrarily many compactions, and a
+    session closed mid-stream carries the compacted prefix out with it."""
+    gap, wm_delay = 60, 120
+    a = [i * 30 for i in range(200)]            # session A: 0..5970
+    b = [a[-1] + gap + 1 + i * 30 for i in range(100)]  # session B after gap
+    events = a + b
+    batches = [events[i : i + 10] for i in range(0, len(events), 10)]
+    closed, _ = _drive_step(batches, gap, wm_delay)
+    assert closed == _batch_sessions(events, gap)
+    assert closed[0] == (0, a[-1], 200)

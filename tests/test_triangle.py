@@ -83,3 +83,33 @@ def test_triangles_per_edge_sums_to_total(spark, tiny_graph):
     per_edge = triangles_per_edge(df)
     total = sum(r["common"] for r in per_edge.collect())
     assert total == brute_triangles(pairs)
+
+
+def test_kernel_counters_match_known_workload(spark, tiny_graph):
+    """Accumulator counters mirror the reference's inter_cnt / cmp_cnt
+    (src/set_operation.cpp:903-905, printed at src/tc.cpp:46):
+    inter_cnt = one intersection per oriented edge; cmp_cnt = elements
+    scanned = Σ |N⁻(src)| + |N⁻(dst)| over oriented edges."""
+    from collections import defaultdict
+
+    from graphsetintersection_spark.operators.triangle import (
+        triangle_count_kernel_with_stats,
+    )
+
+    pairs, df = tiny_graph
+    # python oracle over the canonically oriented simple graph
+    oriented = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    lower = defaultdict(set)
+    for a, b in oriented:
+        lower[b].add(a)  # N⁻(b) ∋ a (a < b)
+    # the adjacency join is inner: an oriented edge whose src has no
+    # smaller neighbor contributes no pair to the kernel (and no triangle)
+    worked = [(a, b) for a, b in oriented if lower[a]]
+    expect_inter = len(worked)
+    expect_cmp = sum(len(lower[a]) + len(lower[b]) for a, b in worked)
+
+    for kernel in ("uint", "bsr"):
+        tri, stats = triangle_count_kernel_with_stats(df, kernel=kernel)
+        assert tri == brute_triangles(pairs)
+        assert stats["inter_cnt"] == expect_inter
+        assert stats["cmp_cnt"] == expect_cmp
