@@ -108,6 +108,16 @@ def _q_rcm_relabel(spark, sf_dir):
     )
 
 
+def _q_hybrid_relabel(spark, sf_dir):
+    from graphsetintersection_spark.operators.relabel import (
+        hybrid_bfsdeg_order,
+    )
+
+    return hybrid_bfsdeg_order(
+        _lgraph(spark, sf_dir), max_levels=BFS_MAX_LEVELS
+    ).select("org_id", "new_id")
+
+
 def _q_dedup_keep_first(spark, sf_dir):
     from graphsetintersection_spark.functions.dedup import dedup_keep_first
 
@@ -377,6 +387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_relabel": _q_degree_relabel,
         "bfs_relabel": _q_bfs_relabel,
         "rcm_relabel": _q_rcm_relabel,
+        "hybrid_relabel": _q_hybrid_relabel,
         "comp_ratio": _q_comp_ratio,
         "hubs": _q_hubs,
         "triangle_count": _q_triangle_count,
@@ -772,6 +783,34 @@ select deg.v as org_id,
        cast(row_number() over (
          order by coalesce(lvl.level, {BFS_MAX_LEVELS + 1}) asc,
                   deg.deg desc, deg.v asc) - 1 as bigint) as new_id
+from deg left join lvl on lvl.v = deg.v
+""",
+        # hybrid_bfsdeg: degree-desc primary, BFS-level tie-break from the
+        # smallest-id root (relabel.hybrid_bfsdeg_order; reference
+        # src/porder.cpp:93-140)
+        "hybrid_relabel": f"""
+with recursive edges as materialized ({_LGRAPH_EDGES}),
+o as (select src as v, count(*) as out_deg from edges group by src),
+i as (select dst as v, count(*) as in_deg from edges group by dst),
+deg as materialized (
+  select coalesce(o.v, i.v) as v,
+         coalesce(out_deg, 0) + coalesce(in_deg, 0) as deg
+  from o full outer join i on o.v = i.v
+),
+root as (select min(v) as v from deg),
+reach(v, level) as (
+  select v, 0 from root
+  union
+  select e.dst, reach.level + 1
+  from reach join edges e on e.src = reach.v
+  where reach.level < {BFS_MAX_LEVELS}
+),
+lvl as (select v, min(level) as level from reach group by v)
+select deg.v as org_id,
+       cast(row_number() over (
+         order by deg.deg desc,
+                  coalesce(lvl.level, {BFS_MAX_LEVELS + 1}) asc,
+                  deg.v asc) - 1 as bigint) as new_id
 from deg left join lvl on lvl.v = deg.v
 """,
         # rcm_order: same BFS-level CTE from the MIN-degree root with

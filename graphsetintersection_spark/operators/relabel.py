@@ -306,6 +306,46 @@ def rcm_order(edges: DataFrame, max_levels: int = 64) -> DataFrame:
     )
 
 
+def hybrid_bfsdeg_order(edges: DataFrame, max_levels: int = 64) -> DataFrame:
+    """Hybrid BFS+degree ordering (org_id, new_id) — reference
+    hybrid_bfsdeg (src/porder.cpp:93-140): every vertex first gets a BFS
+    discovery index, then the final permutation sorts by
+    (total degree DESC, bfs index ASC) — hubs lead (densifying packed
+    intersections like deg_desc_order) while equal-degree vertices keep
+    BFS locality.
+
+    Distributed re-expression: the BFS index class is the rank over
+    (level asc, v asc) from the smallest-id root (the reference seeds its
+    BFS scan at vertex 0 and restarts in id order, :99-113); since that
+    rank is monotone in (level, v), ordering by (deg desc, bfs_rank asc)
+    equals ordering by (deg desc, level asc, v asc) — ONE two-phase rank,
+    no second shuffle. Vertices unreachable within ``max_levels`` sort
+    after reached ones of equal degree (level = max_levels + 1), the same
+    final-wave convention as bfs_order."""
+    spark = edges.sparkSession
+    deg = degrees(edges).persist()
+    root_row = deg.orderBy(F.col("v").asc()).first()
+    if root_row is None:
+        deg.unpersist()
+        return spark.createDataFrame([], "org_id long, new_id long")
+    root = int(root_row["v"])
+    levels, live = _bfs_levels(edges, root, max_levels)
+    ranked = deg.join(levels, "v", "left").select(
+        "v",
+        F.coalesce("level", F.lit(max_levels + 1)).alias("level"),
+        "deg",
+    )
+    out = global_order_stats(
+        ranked,
+        [F.col("deg").desc(), F.col("level").asc(), F.col("v").asc()],
+        rank_col="new_id",
+    )
+    deg.unpersist()
+    for f in live:
+        f.unpersist()
+    return out.select(F.col("v").alias("org_id"), "new_id")
+
+
 def leaf_node_count(edges: DataFrame) -> int:
     """Count degree-1 vertices (src/porder.cpp:82-91)."""
     return degrees(edges).where(F.col("deg") == 1).count()
@@ -476,6 +516,137 @@ def bfsr_order(
         return bisect(left) + bisect(right)
 
     layout = bisect(list(range(n)))
+    out = [(int(ids[v]), pos) for pos, v in enumerate(layout)]
+    return spark.createDataFrame(out, "org_id long, new_id long")
+
+
+def mloggapa_order(
+    edges: DataFrame,
+    min_part: int = 32,
+    max_iters: int = 20,
+    recompute_gains: bool = True,
+    max_driver_vertices: int = 2_000_000,
+) -> DataFrame:
+    """Minimum-log-gap-arrangement ordering (org_id, new_id) — reference
+    mloggapa_order / graph_bisection2 (src/porder.cpp:634-686, 794-930),
+    the KDD'16 recursive-graph-bisection objective: recursively split the
+    current layout into halves and refine each split with ≤``max_iters``
+    rounds of gain-sorted prefix swaps, where a member vertex's gain sums,
+    over each neighbor q it touches (separately for out- and in-edges,
+    :809-858), the log-gap cost delta of moving it across:
+
+        cost(n1,q1,n2,q2) = q1·log2(n1/(q1+1)) + q2·log2(n2/(q2+1))
+        gain  += cost(ln, dl, rn, dr) − cost(ln, dl∓1, rn, dr±1)
+
+    with dl/dr = how many of q's incident members sit left/right. Swap
+    rounds (:917-925): sort both halves by gain desc, swap the leading
+    pairs while gain_l+gain_r > 0, stop when a round swaps nothing.
+    Splits below ``min_part`` keep their layout (:799: tot_num < 32).
+
+    ``recompute_gains``: the reference builds the per-half incidence
+    lists ONCE per bisection and never rebuilds them between swap rounds
+    (:809 sits above the :865 iteration loop), so its gain vector is
+    STATIC within a bisection — swapped high-gain pairs still "want" to
+    move and oscillate back, and the refinement converges only by the
+    round cap. ``recompute_gains=False`` mirrors those dynamics exactly
+    (gains computed once, only the sort-and-swap loop re-runs — provably
+    identical since recomputing from static lists yields the same
+    vector). The default ``True`` recomputes dl/dr from the CURRENT
+    membership after each swap round — the actual KDD'16 refinement the
+    reference's code is plainly aiming at — which genuinely converges
+    and is the quality default.
+
+    Driver-side over numpy CSR with the usual vertex cap (the recursion
+    defines a single global layout; the scalable family member is
+    ``bfsr_order``). Documented deviations: stable descending gain sort
+    (the reference's std::sort tie order is unspecified) and per-neighbor
+    gain scatter via weighted bincount (numerically identical)."""
+    import numpy as np
+
+    spark = edges.sparkSession
+    e = canonicalize(edges)
+    _check_driver_cap(e, max_driver_vertices, "mloggapa order")
+    rows = e.groupBy("src").agg(F.collect_list("dst").alias("nbrs")).collect()
+    vs = {int(r["src"]) for r in rows}
+    for r in rows:
+        vs.update(int(u) for u in r["nbrs"])
+    ids = np.array(sorted(vs), dtype=np.int64)
+    idx_of = {int(v): i for i, v in enumerate(ids)}
+    n = len(ids)
+    srcs, dsts = [], []
+    for r in rows:
+        u = idx_of[int(r["src"])]
+        for w in r["nbrs"]:
+            srcs.append(u)
+            dsts.append(idx_of[int(w)])
+    src_a = np.array(srcs, dtype=np.int64)
+    dst_a = np.array(dsts, dtype=np.int64)
+
+    def csr(tail: np.ndarray, head: np.ndarray):
+        order = np.argsort(tail, kind="stable")
+        t, h = tail[order], head[order]
+        indptr = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(indptr, t + 1, 1)
+        np.cumsum(indptr, out=indptr)
+        return indptr, h
+    out_ptr, out_nbr = csr(src_a, dst_a)   # u -> out-neighbors
+    in_ptr, in_nbr = csr(dst_a, src_a)     # u -> in-neighbors
+
+    def member_pairs(members, indptr, nbr):
+        """(q, m) pair arrays: each member m repeated per its neighbor q —
+        the CSR slices of all members gathered in one fancy-index pass."""
+        cnt = indptr[members + 1] - indptr[members]
+        total = int(cnt.sum())
+        if total == 0:
+            z = np.empty(0, dtype=np.int64)
+            return z, z
+        m_rep = np.repeat(members, cnt)
+        slice_start = np.cumsum(cnt) - cnt  # first global pos of each slice
+        offset = np.arange(total) - np.repeat(slice_start, cnt)
+        q = nbr[np.repeat(indptr[members], cnt) + offset]
+        return q, m_rep
+
+    def cost(n1, q1, n2, q2):
+        return q1 * np.log2(n1 / (q1 + 1.0)) + q2 * np.log2(n2 / (q2 + 1.0))
+
+    def static_gain(left, right):
+        ln, rn = len(left), len(right)
+        gain = np.zeros(n)
+        for indptr, nbr in ((out_ptr, out_nbr), (in_ptr, in_nbr)):
+            ql, ml = member_pairs(left, indptr, nbr)
+            qr, mr = member_pairs(right, indptr, nbr)
+            cl = np.bincount(ql, minlength=n)
+            cr = np.bincount(qr, minlength=n)
+            if len(ql):
+                dl, dr = cl[ql], cr[ql]
+                mc = cost(ln, dl, rn, dr) - cost(ln, dl - 1, rn, dr + 1)
+                gain += np.bincount(ml, weights=mc, minlength=n)
+            if len(qr):
+                dl, dr = cl[qr], cr[qr]
+                mc = cost(ln, dl, rn, dr) - cost(ln, dl + 1, rn, dr - 1)
+                gain += np.bincount(mr, weights=mc, minlength=n)
+        return gain
+
+    def bisect(part: np.ndarray) -> np.ndarray:
+        if len(part) < min_part:
+            return part
+        mid = len(part) // 2
+        left, right = part[:mid], part[mid:]
+        gain = static_gain(left, right)
+        for _ in range(max_iters):
+            left = left[np.argsort(-gain[left], kind="stable")]
+            right = right[np.argsort(-gain[right], kind="stable")]
+            m = min(len(left), len(right))
+            pos = gain[left[:m]] + gain[right[:m]] > 0
+            k = int(m if pos.all() else np.argmin(pos))
+            if k == 0:
+                break
+            left[:k], right[:k] = right[:k].copy(), left[:k].copy()
+            if recompute_gains:
+                gain = static_gain(left, right)
+        return np.concatenate([bisect(left), bisect(right)])
+
+    layout = bisect(np.arange(n, dtype=np.int64))
     out = [(int(ids[v]), pos) for pos, v in enumerate(layout)]
     return spark.createDataFrame(out, "org_id long, new_id long")
 

@@ -286,3 +286,170 @@ def test_bfsr_order_bisection_locality(spark):
     rows = {r["org_id"]: r["new_id"] for r in order.collect()}
     assert sorted(rows.values()) == list(range(n))
     assert comp_ratio(apply_order(df, order)) < comp_ratio(df) * 0.8
+
+
+def test_hybrid_bfsdeg_order_deg_then_bfs(spark):
+    """hybrid_bfsdeg (reference src/porder.cpp:93-140): degree-descending
+    primary key, BFS locality tie-break — checked against an independent
+    (deg desc, level asc, v asc) rank computed in plain Python."""
+    from collections import deque
+
+    from graphsetintersection_spark.operators.relabel import (
+        hybrid_bfsdeg_order,
+    )
+
+    edges = sorted({(u, v) for u, v in random_graph(40, 160, seed=7) if u != v})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    verts = sorted({u for e in edges for u in e})
+    deg: dict[int, int] = {v: 0 for v in verts}
+    out_adj: dict[int, list[int]] = {v: [] for v in verts}
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+        out_adj[u].append(v)
+    # BFS levels over out-edges from the smallest id
+    level = {verts[0]: 0}
+    q = deque([verts[0]])
+    while q:
+        u = q.popleft()
+        for w in out_adj[u]:
+            if w not in level:
+                level[w] = level[u] + 1
+                q.append(w)
+    ranked = sorted(verts, key=lambda v: (-deg[v], level.get(v, 65), v))
+    expect = {v: i for i, v in enumerate(ranked)}
+    got = {
+        r["org_id"]: r["new_id"] for r in hybrid_bfsdeg_order(df).collect()
+    }
+    assert got == expect
+
+
+def _mloggapa_literal(edges, n, min_part=32, max_iters=20):
+    """Independent literal mirror of the reference's graph_bisection2
+    (src/porder.cpp:794-930): dict incidence lists built once per
+    bisection, gains REcomputed every swap round from those static lists
+    (exactly as the C++ does), stable desc-gain sort, prefix swaps while
+    gain_l+gain_r > 0. Exercises the production code's compute-gains-once
+    shortcut against the literal per-round recomputation."""
+    import math
+
+    out_adj = [[] for _ in range(n)]
+    in_adj = [[] for _ in range(n)]
+    for u, v in edges:
+        out_adj[u].append(v)
+        in_adj[v].append(u)
+
+    def cost(n1, q1, n2, q2):
+        return q1 * math.log2(n1 / (q1 + 1.0)) + q2 * math.log2(
+            n2 / (q2 + 1.0)
+        )
+
+    def bisect(part):
+        if len(part) < min_part:
+            return part
+        mid = len(part) // 2
+        left, right = list(part[:mid]), list(part[mid:])
+        ln, rn = len(left), len(right)
+        incid = []  # (q -> members) maps, one per (side, direction)
+        for side in (left, right):
+            for adj in (out_adj, in_adj):
+                mp = {}
+                for u in side:
+                    for q in adj[u]:
+                        mp.setdefault(q, []).append(u)
+                incid.append(mp)
+        for _ in range(max_iters):
+            gain = {u: 0.0 for u in left + right}
+            for d in (0, 1):  # direction: out, in
+                lmap, rmap = incid[d], incid[2 + d]
+                for q, members in lmap.items():
+                    dl = len(members)
+                    dr = len(rmap.get(q, ()))
+                    mc = cost(ln, dl, rn, dr) - cost(ln, dl - 1, rn, dr + 1)
+                    for u in members:
+                        gain[u] += mc
+                for q, members in rmap.items():
+                    dr = len(members)
+                    dl = len(lmap.get(q, ()))
+                    mc = cost(ln, dl, rn, dr) - cost(ln, dl + 1, rn, dr - 1)
+                    for u in members:
+                        gain[u] += mc
+            left.sort(key=lambda u: -gain[u])
+            right.sort(key=lambda u: -gain[u])
+            swapped = 0
+            for i in range(min(ln, rn)):
+                if gain[left[i]] + gain[right[i]] > 0:
+                    left[i], right[i] = right[i], left[i]
+                    swapped += 1
+                else:
+                    break
+            if swapped == 0:
+                break
+        return bisect(left) + bisect(right)
+
+    return bisect(list(range(n)))
+
+
+def test_mloggapa_order_matches_literal_mirror(spark):
+    """The vectorized driver implementation must equal the literal
+    per-round-recomputing mirror of src/porder.cpp:794-930 exactly."""
+    from graphsetintersection_spark.operators.relabel import mloggapa_order
+
+    n = 200
+    pairs = sorted(
+        {(u, v) for u, v in random_graph(n, 1200, seed=11) if u != v}
+    )
+    # make ids continuous 0..n-1 (vertices not hit by the rng are isolated
+    # in the reference too — only edge-touched ids exist here)
+    verts = sorted({u for e in pairs for u in e})
+    remap = {v: i for i, v in enumerate(verts)}
+    pairs = [(remap[u], remap[v]) for u, v in pairs]
+    m = len(verts)
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    layout = _mloggapa_literal(pairs, m)
+    expect = {u: pos for pos, u in enumerate(layout)}
+    got = {
+        r["org_id"]: r["new_id"]
+        for r in mloggapa_order(df, recompute_gains=False).collect()
+    }
+    assert got == expect
+
+
+def test_mloggapa_order_small_graph_identity(spark):
+    """Below min_part no bisection happens (reference :799 tot_num < 32):
+    the layout is the initial ascending-id order."""
+    from graphsetintersection_spark.operators.relabel import mloggapa_order
+
+    df = spark.createDataFrame(
+        [(3, 9), (9, 12), (12, 3)], "src long, dst long"
+    )
+    got = {r["org_id"]: r["new_id"] for r in mloggapa_order(df).collect()}
+    assert got == {3: 0, 9: 1, 12: 2}
+
+
+def test_mloggapa_order_densifies_scrambled_communities(spark):
+    """Two id-interleaved dense communities: the bisection objective must
+    place each community contiguously, densifying comp_ratio vs the
+    original interleaved ids."""
+    from graphsetintersection_spark.operators.relabel import mloggapa_order
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    n = 128
+    pairs = set()
+    for _ in range(1500):
+        c = rng.integers(0, 2)  # community = id parity
+        u, v = rng.integers(0, n // 2, 2) * 2 + c
+        if u != v:
+            pairs.add((int(u), int(v)))
+    df = spark.createDataFrame(sorted(pairs), "src long, dst long")
+    order = mloggapa_order(df)
+    rows = {r["org_id"]: r["new_id"] for r in order.collect()}
+    assert sorted(rows.values()) == list(range(len(rows)))
+    # each community must land in one contiguous half
+    halves = {c: {rows[v] for v in rows if v % 2 == c} for c in (0, 1)}
+    lo = min(halves[0]) < min(halves[1])
+    first = halves[0] if lo else halves[1]
+    assert max(first) < len(rows) // 2 + len(rows) % 2
+    assert comp_ratio(apply_order(df, order)) < comp_ratio(df)
