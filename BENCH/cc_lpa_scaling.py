@@ -33,7 +33,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EDGES_PATH = os.environ.get("CC_LPA_EDGES", "/tmp/gsi_scaling_edges_xl")
 LO, HI = 4, 16
 SHUFFLE_PARTITIONS = 64
-MEASURED_ROUNDS = 2
+MEASURED_ROUNDS = 4
 RESULTS = "/tmp/cc_lpa_results.jsonl"
 
 WORKER = r"""
@@ -44,11 +44,10 @@ os.sched_setaffinity(0, set(range(cores)))
 os.environ['SPARK_DRIVER_MEM'] = '48g'
 from graphsetintersection_spark.session import get_spark
 from pyspark.sql import functions as F
-from graphsetintersection_spark.operators.edges import canonicalize, symmetrize, vertices
+from graphsetintersection_spark.operators.iterative import prepare_undirected
 from graphsetintersection_spark.operators.labelprop import lpa_round
 from graphsetintersection_spark.operators.components import cc_minlabel_round
-from graphsetintersection_spark.plans.skew import (
-    content_signature, decide_hub_salting, mark_hubs)
+from graphsetintersection_spark.plans.skew import content_signature
 
 extra = {}
 if %(localdir)r:
@@ -57,20 +56,18 @@ spark = get_spark(app_name=f"gsi-cclpa-{cores}", master=f"local[{cores}]",
                   shuffle_partitions=%(sp)d, extra_conf=extra)
 edges = spark.read.parquet(%(edges)r)
 
-# ---- prepare (timed once): symmetrize + persist + skew probe — the
-# index-build phase, shared by both algorithms (same shape as the
-# operators' own preludes)
+# ---- prepare (timed once): the operators' own index-build phase
+# (operators.iterative.prepare_undirected — strategy choice, partitioned
+# symmetrize + persist, skew probe), shared by both algorithms
 t0 = time.perf_counter()
-und = symmetrize(canonicalize(edges)).persist()
-n_und = und.count()
-verts = vertices(und).persist()
-n_verts = verts.count()
-plan = decide_hub_salting(und, "dst", total_rows=n_und)
-und_j = mark_hubs(und, "dst", plan) if plan is not None else und
+prep = prepare_undirected(edges)
+und_j, verts, plan = prep.und_j, prep.verts, prep.salt_plan
+n_und, n_verts = prep.n_und, prep.n
 prep_secs = round(time.perf_counter() - t0, 2)
 
 res = {"cores": cores, "local_dir": %(localdir)r, "n_und": n_und,
        "n_verts": n_verts, "salts": plan.salts if plan else 0,
+       "broadcast_labels": prep.broadcast_labels,
        "prep_secs": prep_secs, "lpa_secs": [], "cc_secs": []}
 
 # ---- LPA: round 1 from initial labels is the warm-up (JIT/codegen/
@@ -78,13 +75,15 @@ res = {"cores": cores, "local_dir": %(localdir)r, "n_und": n_und,
 # measured REPEATS times from the SAME input labels so every measurement
 # does identical work (the tc_scaling re-run-the-identical-job method)
 labels0 = verts.select("v", F.col("v").alias("label"))
-labels1 = lpa_round(und_j, labels0, verts, salt_plan=plan).localCheckpoint(True)
+labels1 = lpa_round(und_j, labels0, salt_plan=plan,
+                    broadcast_labels=prep.broadcast_labels).localCheckpoint(True)
 labels2 = None
 for _ in range(%(rounds)d):
     if labels2 is not None:
         labels2.unpersist()
     t0 = time.perf_counter()
-    labels2 = lpa_round(und_j, labels1, verts, salt_plan=plan).localCheckpoint(True)
+    labels2 = lpa_round(und_j, labels1, salt_plan=plan,
+                        broadcast_labels=prep.broadcast_labels).localCheckpoint(True)
     res["lpa_secs"].append(round(time.perf_counter() - t0, 2))
 res["lpa_distinct"] = labels2.select("label").distinct().count()
 labels1.unpersist(); labels2.unpersist()
@@ -92,14 +91,16 @@ labels1.unpersist(); labels2.unpersist()
 # ---- min-label CC: same shape; per-round cost includes the convergence
 # signature aggregate (one aggregate per round, as in the operator loop)
 comp0 = verts.select("v", F.col("v").alias("component"))
-comp1 = cc_minlabel_round(und_j, comp0, salt_plan=plan).localCheckpoint(True)
+comp1 = cc_minlabel_round(und_j, comp0, salt_plan=plan,
+                          broadcast_labels=prep.broadcast_labels).localCheckpoint(True)
 sig = content_signature(comp1, "v", "component")
 comp2 = None
 for _ in range(%(rounds)d):
     if comp2 is not None:
         comp2.unpersist()
     t0 = time.perf_counter()
-    comp2 = cc_minlabel_round(und_j, comp1, salt_plan=plan).localCheckpoint(True)
+    comp2 = cc_minlabel_round(und_j, comp1, salt_plan=plan,
+                              broadcast_labels=prep.broadcast_labels).localCheckpoint(True)
     sig = content_signature(comp2, "v", "component")
     res["cc_secs"].append(round(time.perf_counter() - t0, 2))
 res["cc_distinct"] = comp2.select("component").distinct().count()

@@ -39,17 +39,21 @@ class ComponentsResult:
     converged: bool
 
 
-def cc_minlabel_round(und_j, labels, salt_plan=None):
+def cc_minlabel_round(und_j, labels, salt_plan=None, broadcast_labels=False):
     """One synchronous min-label round over the symmetrized edge set:
     every vertex takes min(own label, incoming neighbor labels). ``und_j``
     must carry a ``_hub`` column when ``salt_plan`` is given (mark_hubs).
 
     min is map-side combinable; with a salt plan, hub dsts pre-combine
     under salts so no single reducer owns a whole hub (the Zipf-hub
-    shuffle-skew guard shared with PageRank/LPA, plans.skew)."""
+    shuffle-skew guard shared with PageRank/LPA, plans.skew). With
+    ``broadcast_labels`` (und cached dst-partitioned,
+    operators.iterative.prepare_undirected) the join and the dst-keyed
+    min both run without exchanging the edge frame."""
+    from graphsetintersection_spark.operators.iterative import state_join
     from graphsetintersection_spark.plans.skew import two_stage_agg
 
-    joined = und_j.join(labels.withColumnRenamed("v", "src"), "src")
+    joined = state_join(und_j, labels, broadcast_labels)
     if salt_plan is not None:
         nbr_min = two_stage_agg(
             joined.withColumnRenamed("dst", "v"),
@@ -93,17 +97,13 @@ def connected_components_minlabel(
         mark_hubs,
     )
 
-    spark = edges.sparkSession
-    und = symmetrize(canonicalize(edges)).persist()
-    n_und = und.count()
-    verts = vertices(und)
+    from graphsetintersection_spark.operators.iterative import (
+        prepare_undirected,
+    )
 
-    plan = None
-    if salt_hubs == "auto":
-        plan = decide_hub_salting(und, "dst", total_rows=n_und)
-    elif salt_hubs:
-        plan = decide_hub_salting(und, "dst", salts=int(salt_hubs), force=True)
-    und_j = mark_hubs(und, "dst", plan) if plan is not None else und
+    spark = edges.sparkSession
+    prep = prepare_undirected(edges, salt_hubs=salt_hubs)
+    verts, und_j, plan = prep.verts, prep.und_j, prep.salt_plan
 
     labels = verts.select("v", F.col("v").alias("component"))
     start = 0
@@ -118,7 +118,10 @@ def connected_components_minlabel(
     rounds = start
     prev_snapshot: DataFrame | None = None  # superseded localCheckpoint
     for rounds in range(start, max_rounds):
-        new_labels = cc_minlabel_round(und_j, labels, salt_plan=plan)
+        new_labels = cc_minlabel_round(
+            und_j, labels, salt_plan=plan,
+            broadcast_labels=prep.broadcast_labels,
+        )
         # materialize FIRST (lineage truncation), then one aggregate over
         # the materialized frame decides convergence — no per-round
         # changed-count join-shuffle
@@ -142,7 +145,7 @@ def connected_components_minlabel(
     else:
         rounds = max_rounds
 
-    und.unpersist()
+    prep.unpersist()
     return ComponentsResult(labels, rounds, converged)
 
 

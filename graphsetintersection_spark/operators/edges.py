@@ -37,6 +37,38 @@ def symmetrize(edges: DataFrame) -> DataFrame:
     return edges.select("src", "dst").union(rev).distinct()
 
 
+def symmetrize_partitioned(
+    edges: DataFrame, key: str = "dst", num_partitions: int | None = None
+) -> DataFrame:
+    """Symmetrized canonical view hash-partitioned by ``key`` in ONE
+    shuffle: cast/null/self-loop-filter both directions, union,
+    repartition by ``key``, then ``dropDuplicates`` — which runs WITHOUT a
+    further exchange because HashPartitioning(key) already clusters equal
+    (src, dst) rows (key ∈ {src, dst} is a subset of the dedup keys), and
+    it subsumes ``canonicalize``'s distinct. The Catalyst-visible output
+    partitioning is the point: iterative operators cache this frame once
+    and every per-round join or aggregation keyed on ``key`` reuses it,
+    so the multi-GB edge side is shuffled once per RUN instead of once
+    per ROUND (``symmetrize(canonicalize(e))`` + per-round joins was
+    re-exchanging it every iteration)."""
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .where(F.col("src") != F.col("dst"))
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    und = e.union(rev)
+    und = (
+        und.repartition(num_partitions, key)
+        if num_partitions
+        else und.repartition(key)
+    )
+    return und.dropDuplicates()
+
+
 def orient(edges: DataFrame) -> DataFrame:
     """Canonical undirected orientation: one row per undirected edge with
     ``src < dst`` (reference keeps u<v edges as the triangle iteration list,

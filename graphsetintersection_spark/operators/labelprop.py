@@ -30,13 +30,10 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graphsetintersection_spark.operators.edges import canonicalize, symmetrize, vertices
 from graphsetintersection_spark.plans.checkpoint import CheckpointManager
 from graphsetintersection_spark.plans.skew import (
     HubSaltPlan,
     content_signature,
-    decide_hub_salting,
-    mark_hubs,
     two_stage_agg,
 )
 
@@ -51,14 +48,20 @@ class LabelPropResult:
 def lpa_round(
     und: DataFrame,
     labels: DataFrame,
-    verts: DataFrame,
     salt_plan: HubSaltPlan | None = None,
+    broadcast_labels: bool = False,
 ) -> DataFrame:
     """One synchronous LPA round over the symmetrized edge set. ``und``
-    must carry a ``_hub`` column when ``salt_plan`` is given (mark_hubs)."""
-    nbr_labels = und.join(
-        labels.withColumnRenamed("v", "src"), "src"
-    ).withColumnRenamed("dst", "v")
+    must carry a ``_hub`` column when ``salt_plan`` is given (mark_hubs).
+    With ``broadcast_labels`` (and ``und`` cached dst-partitioned, see
+    operators.iterative.prepare_undirected) the whole round's heavy side
+    is exchange-free: broadcast join, then the (v=dst, label) count and
+    the per-v argmax both reuse the dst partitioning."""
+    from graphsetintersection_spark.operators.iterative import state_join
+
+    nbr_labels = state_join(und, labels, broadcast_labels).withColumnRenamed(
+        "dst", "v"
+    )
     if salt_plan is not None:
         counts = two_stage_agg(
             nbr_labels,
@@ -77,7 +80,10 @@ def lpa_round(
     best = counts.groupBy("v").agg(
         F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("m")
     ).select("v", (-F.col("m.neg")).alias("new_label"))
-    return verts.join(best, "v", "left").join(labels, "v").select(
+    # labels carries every vertex (the loop invariant), so one left join
+    # folds isolated/no-incoming vertices — the old verts⨝best⨝labels
+    # double join was one 2M-row shuffle join per round for nothing
+    return labels.join(best, "v", "left").select(
         "v", F.coalesce("new_label", "label").alias("label")
     )
 
@@ -93,17 +99,13 @@ def label_propagation(
     parity mode — LPA need not converge); False stops early at fixpoint.
     ``salt_hubs``: "auto" probes for Zipf-hub skew on graphs large enough
     for it to matter; an int forces that salt count; None disables."""
-    spark = edges.sparkSession
-    und = symmetrize(canonicalize(edges)).persist()
-    n_und = und.count()
-    verts = vertices(und).persist()
+    from graphsetintersection_spark.operators.iterative import (
+        prepare_undirected,
+    )
 
-    plan = None
-    if salt_hubs == "auto":
-        plan = decide_hub_salting(und, "dst", total_rows=n_und)
-    elif salt_hubs:
-        plan = decide_hub_salting(und, "dst", salts=int(salt_hubs), force=True)
-    und_j = mark_hubs(und, "dst", plan) if plan is not None else und
+    spark = edges.sparkSession
+    prep = prepare_undirected(edges, salt_hubs=salt_hubs)
+    verts, und_j, plan = prep.verts, prep.und_j, prep.salt_plan
 
     labels = verts.select("v", F.col("v").alias("label"))
     start = 0
@@ -118,7 +120,10 @@ def label_propagation(
     rounds = start
     prev_snapshot: DataFrame | None = None  # superseded localCheckpoint
     for rounds in range(start, max_rounds):
-        new_labels = lpa_round(und_j, labels, verts, salt_plan=plan)
+        new_labels = lpa_round(
+            und_j, labels, salt_plan=plan,
+            broadcast_labels=prep.broadcast_labels,
+        )
         if checkpointer is None:
             new_labels = new_labels.localCheckpoint(eager=True)
         changed = None
@@ -145,6 +150,5 @@ def label_propagation(
     else:
         rounds = max_rounds
 
-    und.unpersist()
-    verts.unpersist()
+    prep.unpersist()
     return LabelPropResult(labels, rounds, converged)

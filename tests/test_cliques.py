@@ -210,3 +210,57 @@ def test_bk_arrays_pivot_parity_small():
         out_b: list = []
         _bk_bitset(adj_bits, full, np.zeros(words, dtype=np.uint64), [], out_b)
         assert sorted(out_a) == sorted(out_b)
+
+
+def test_plain_bk_matches_pivot(spark):
+    """use_pivot=False (the reference's plain Bron–Kerbosch,
+    src/org_maximal_clique.cpp:50-73) must emit exactly the same clique
+    set as the Tomita-pivot default, in both the bitset and the
+    sorted-array kernels."""
+    import numpy as np
+
+    from graphsetintersection_spark.operators.cliques import (
+        _bk_arrays,
+        _bk_bitset,
+        _mask_from_idx,
+        maximal_cliques,
+    )
+    from tests.conftest import random_graph
+
+    pairs = [(u, v) for u, v in random_graph(30, 220, seed=5) if u != v]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    piv = sorted(tuple(r["clique"]) for r in maximal_cliques(df).collect())
+    plain = sorted(
+        tuple(r["clique"])
+        for r in maximal_cliques(df, use_pivot=False).collect()
+    )
+    assert plain == piv and len(piv) > 0
+
+    # kernel-level parity on a dense random adjacency (both code paths)
+    rng = np.random.default_rng(9)
+    n = 40
+    m = rng.random((n, n)) < 0.3
+    m = np.triu(m, 1)
+    m = m | m.T
+    words = (n + 63) // 64
+    adj_bits = np.zeros((n, words), dtype=np.uint64)
+    adj_list = []
+    for i in range(n):
+        nb = np.nonzero(m[i])[0].astype(np.int64)
+        adj_list.append(nb)
+        for j in nb:
+            adj_bits[i, j >> 6] |= np.uint64(1) << np.uint64(int(j) & 63)
+    full = _mask_from_idx(np.arange(n, dtype=np.int64), words)
+    zero = np.zeros(words, dtype=np.uint64)
+    res = {}
+    for use_pivot in (True, False):
+        out_b: list = []
+        _bk_bitset(adj_bits, full.copy(), zero.copy(), [], out_b, use_pivot)
+        out_a: list = []
+        _bk_arrays(
+            adj_list, np.arange(n, dtype=np.int64),
+            np.empty(0, dtype=np.int64), [], out_a, use_pivot,
+        )
+        assert sorted(out_b) == sorted(out_a)
+        res[use_pivot] = sorted(out_b)
+    assert res[True] == res[False]
