@@ -6,19 +6,33 @@ shuffle partitioning at both sizes, warm-up round then median of measured
 rounds, /proc/stat steal captured, disk-vs-tmpfs shuffle axis via
 spark.local.dir.
 
-What is measured: one salted LPA round (operators.labelprop.lpa_round)
-and one salted min-label CC round (operators.components.cc_minlabel_round)
-— each round is the unit that repeats at scale, exactly like a PageRank
-iteration; full-convergence wall time is round-count × these. Both JVMs
-run the SAME deterministic round sequence from the same initial labels
-(round 1 = warm-up, rounds 2..R measured), so LO and HI execute identical
-work. Per-round cost includes the eager localCheckpoint materialization
-and the content-signature convergence aggregate — they are part of every
+What is measured: one LPA round (operators.labelprop.lpa_round) and one
+min-label CC round (operators.components.cc_minlabel_round) — each round
+is the unit that repeats at scale, exactly like a PageRank iteration;
+full-convergence wall time is round-count × these. BOTH join strategies
+from operators.iterative.prepare_undirected are measured per JVM:
+
+- ``shuffle`` (broadcast_labels=False + salted hubs) — the AT-SCALE path,
+  active whenever V > 10M, i.e. the north rule's 10^12-document regime.
+  Per round: labels exchange+sort onto the stationary src-partitioned
+  sorted edge cache, one salted dst-keyed aggregation (the real work),
+  one small join. This is the headline scaling number.
+- ``broadcast`` (the auto strategy at this corpus's 2M vertices) — the
+  small-V fast path: zero edge exchange, per-round cost dominated by the
+  label-vector broadcast build + driver fixed costs, reported to show
+  the absolute-fastest configuration and its fixed-cost floor.
+
+Both JVMs run the SAME deterministic round sequence from the same initial
+labels (round 1 = warm-up, then MEASURED_ROUNDS repeats of the identical
+round-2 computation), so LO and HI execute identical work. Per-round cost
+includes the eager localCheckpoint materialization and (CC) the
+content-signature convergence aggregate — they are part of every
 production round (operators/{labelprop,components}.py loop bodies).
 
-Usage: python BENCH/cc_lpa_scaling.py [shuffle_dir]
+Usage: python BENCH/cc_lpa_scaling.py [shuffle_dir] [configs]
   shuffle_dir  e.g. /dev/shm/spark_local or "" for the default disk
                (default tmpfs)
+  configs      comma list from {shuffle,broadcast} (default both)
 Appends one JSON line per (cores, config) to /tmp/cc_lpa_results.jsonl.
 """
 
@@ -33,13 +47,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EDGES_PATH = os.environ.get("CC_LPA_EDGES", "/tmp/gsi_scaling_edges_xl")
 LO, HI = 4, 16
 SHUFFLE_PARTITIONS = 64
-MEASURED_ROUNDS = 4
+MEASURED_ROUNDS = 6
 RESULTS = "/tmp/cc_lpa_results.jsonl"
 
 WORKER = r"""
 import json, os, sys, time
 sys.path.insert(0, %(repo)r)
 cores = int(sys.argv[1])
+config = sys.argv[2]   # "shuffle" | "broadcast"
 os.sched_setaffinity(0, set(range(cores)))
 os.environ['SPARK_DRIVER_MEM'] = '48g'
 from graphsetintersection_spark.session import get_spark
@@ -52,7 +67,8 @@ from graphsetintersection_spark.plans.skew import content_signature
 extra = {}
 if %(localdir)r:
     extra["spark.local.dir"] = %(localdir)r
-spark = get_spark(app_name=f"gsi-cclpa-{cores}", master=f"local[{cores}]",
+spark = get_spark(app_name=f"gsi-cclpa-{cores}-{config}",
+                  master=f"local[{cores}]",
                   shuffle_partitions=%(sp)d, extra_conf=extra)
 edges = spark.read.parquet(%(edges)r)
 
@@ -60,14 +76,17 @@ edges = spark.read.parquet(%(edges)r)
 # (operators.iterative.prepare_undirected — strategy choice, partitioned
 # symmetrize + persist, skew probe), shared by both algorithms
 t0 = time.perf_counter()
-prep = prepare_undirected(edges)
+prep = prepare_undirected(
+    edges, broadcast_labels=(None if config == "broadcast" else False))
 und_j, verts, plan = prep.und_j, prep.verts, prep.salt_plan
+bl = prep.broadcast_labels
+assert bl == (config == "broadcast")
 n_und, n_verts = prep.n_und, prep.n
 prep_secs = round(time.perf_counter() - t0, 2)
 
-res = {"cores": cores, "local_dir": %(localdir)r, "n_und": n_und,
-       "n_verts": n_verts, "salts": plan.salts if plan else 0,
-       "broadcast_labels": prep.broadcast_labels,
+res = {"cores": cores, "config": config, "local_dir": %(localdir)r,
+       "n_und": n_und, "n_verts": n_verts,
+       "salts": plan.salts if plan else 0,
        "prep_secs": prep_secs, "lpa_secs": [], "cc_secs": []}
 
 # ---- LPA: round 1 from initial labels is the warm-up (JIT/codegen/
@@ -75,15 +94,21 @@ res = {"cores": cores, "local_dir": %(localdir)r, "n_und": n_und,
 # measured REPEATS times from the SAME input labels so every measurement
 # does identical work (the tc_scaling re-run-the-identical-job method)
 labels0 = verts.select("v", F.col("v").alias("label"))
-labels1 = lpa_round(und_j, labels0, salt_plan=plan,
-                    broadcast_labels=prep.broadcast_labels).localCheckpoint(True)
+labels1 = lpa_round(und_j, labels0, salt_plan=plan, broadcast_labels=bl,
+                    self_rows=prep.self_rows).localCheckpoint(True)
 labels2 = None
 for _ in range(%(rounds)d):
     if labels2 is not None:
         labels2.unpersist()
+    # untimed: nudge the JVM to collect dead shuffle dependencies so
+    # their tmpfs files are actually deleted between rounds — lazy GC
+    # lets identical-round reruns accumulate shuffle files in tmpfs
+    # (host RAM), which showed up as a monotonic per-round slowdown
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(2)
     t0 = time.perf_counter()
-    labels2 = lpa_round(und_j, labels1, salt_plan=plan,
-                        broadcast_labels=prep.broadcast_labels).localCheckpoint(True)
+    labels2 = lpa_round(und_j, labels1, salt_plan=plan, broadcast_labels=bl,
+                        self_rows=prep.self_rows).localCheckpoint(True)
     res["lpa_secs"].append(round(time.perf_counter() - t0, 2))
 res["lpa_distinct"] = labels2.select("label").distinct().count()
 labels1.unpersist(); labels2.unpersist()
@@ -91,16 +116,18 @@ labels1.unpersist(); labels2.unpersist()
 # ---- min-label CC: same shape; per-round cost includes the convergence
 # signature aggregate (one aggregate per round, as in the operator loop)
 comp0 = verts.select("v", F.col("v").alias("component"))
-comp1 = cc_minlabel_round(und_j, comp0, salt_plan=plan,
-                          broadcast_labels=prep.broadcast_labels).localCheckpoint(True)
+comp1 = cc_minlabel_round(und_j, comp0, salt_plan=plan, broadcast_labels=bl,
+                          self_rows=prep.self_rows).localCheckpoint(True)
 sig = content_signature(comp1, "v", "component")
 comp2 = None
 for _ in range(%(rounds)d):
     if comp2 is not None:
         comp2.unpersist()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(2)
     t0 = time.perf_counter()
-    comp2 = cc_minlabel_round(und_j, comp1, salt_plan=plan,
-                              broadcast_labels=prep.broadcast_labels).localCheckpoint(True)
+    comp2 = cc_minlabel_round(und_j, comp1, salt_plan=plan, broadcast_labels=bl,
+                              self_rows=prep.self_rows).localCheckpoint(True)
     sig = content_signature(comp2, "v", "component")
     res["cc_secs"].append(round(time.perf_counter() - t0, 2))
 res["cc_distinct"] = comp2.select("component").distinct().count()
@@ -116,6 +143,9 @@ def read_steal() -> int:
 
 def main():
     localdir = sys.argv[1] if len(sys.argv) > 1 else "/dev/shm/spark_local"
+    configs = (
+        sys.argv[2].split(",") if len(sys.argv) > 2 else ["shuffle", "broadcast"]
+    )
     if localdir:
         os.makedirs(localdir, exist_ok=True)
     subst = {"repo": REPO, "edges": EDGES_PATH, "sp": SHUFFLE_PARTITIONS,
@@ -123,32 +153,37 @@ def main():
     from statistics import median
 
     out = {}
-    for cores in (LO, HI):
-        s0 = read_steal()
-        proc = subprocess.run(
-            [sys.executable, "-c", WORKER % subst, str(cores)],
-            capture_output=True, text=True, cwd=REPO, timeout=7200,
-        )
-        if proc.returncode != 0:
-            raise RuntimeError(proc.stderr[-3000:])
-        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-        r = json.loads(line)
-        r["steal"] = read_steal() - s0
-        out[cores] = r
-        with open(RESULTS, "a") as f:
-            f.write(json.dumps(r) + "\n")
-        print(json.dumps(r))
+    for config in configs:
+        for cores in (LO, HI):
+            s0 = read_steal()
+            proc = subprocess.run(
+                [sys.executable, "-c", WORKER % subst, str(cores), config],
+                capture_output=True, text=True, cwd=REPO, timeout=7200,
+            )
+            if proc.returncode != 0:
+                raise RuntimeError(proc.stderr[-3000:])
+            line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+            r = json.loads(line)
+            r["steal"] = read_steal() - s0
+            out[(config, cores)] = r
+            with open(RESULTS, "a") as f:
+                f.write(json.dumps(r) + "\n")
+            print(json.dumps(r))
 
-    lo, hi = out[LO], out[HI]
-    assert lo["lpa_distinct"] == hi["lpa_distinct"]
-    assert lo["cc_distinct"] == hi["cc_distinct"]
-    for alg in ("lpa", "cc"):
-        ml, mh = median(lo[f"{alg}_secs"]), median(hi[f"{alg}_secs"])
-        eff = (ml / mh) / (HI / LO)
-        eps_lo, eps_hi = lo["n_und"] / ml, lo["n_und"] / mh
-        print(f"{alg}: local[{LO}]={ml}s/round local[{HI}]={mh}s/round "
-              f"({eps_lo:,.0f} vs {eps_hi:,.0f} sym-edges/s/round) "
-              f"speedup={ml/mh:.2f}x efficiency={eff:.2f}")
+    for config in configs:
+        lo, hi = out[(config, LO)], out[(config, HI)]
+        assert lo["lpa_distinct"] == hi["lpa_distinct"]
+        assert lo["cc_distinct"] == hi["cc_distinct"]
+        for alg in ("lpa", "cc"):
+            ml, mh = median(lo[f"{alg}_secs"]), median(hi[f"{alg}_secs"])
+            eff = (ml / mh) / (HI / LO)
+            eps_lo, eps_hi = lo["n_und"] / ml, lo["n_und"] / mh
+            print(
+                f"{alg}/{config}: local[{LO}]={ml}s/round "
+                f"local[{HI}]={mh}s/round "
+                f"({eps_lo:,.0f} vs {eps_hi:,.0f} sym-edges/s/round) "
+                f"speedup={ml/mh:.2f}x efficiency={eff:.2f}"
+            )
 
 
 if __name__ == "__main__":

@@ -39,7 +39,9 @@ class ComponentsResult:
     converged: bool
 
 
-def cc_minlabel_round(und_j, labels, salt_plan=None, broadcast_labels=False):
+def cc_minlabel_round(
+    und_j, labels, salt_plan=None, broadcast_labels=False, self_rows=False
+):
     """One synchronous min-label round over the symmetrized edge set:
     every vertex takes min(own label, incoming neighbor labels). ``und_j``
     must carry a ``_hub`` column when ``salt_plan`` is given (mark_hubs).
@@ -49,7 +51,12 @@ def cc_minlabel_round(und_j, labels, salt_plan=None, broadcast_labels=False):
     shuffle-skew guard shared with PageRank/LPA, plans.skew). With
     ``broadcast_labels`` (und cached dst-partitioned,
     operators.iterative.prepare_undirected) the join and the dst-keyed
-    min both run without exchanging the edge frame."""
+    min both run without exchanging the edge frame.
+
+    ``self_rows``: ``und_j`` carries synthetic (v, v) rows (prepare's
+    default), so each vertex's OWN component flows through the join and
+    min(own, neighbors) IS the aggregate — the round is join + one
+    aggregation, no finalize join, one output row per vertex."""
     from graphsetintersection_spark.operators.iterative import state_join
     from graphsetintersection_spark.plans.skew import two_stage_agg
 
@@ -68,6 +75,8 @@ def cc_minlabel_round(und_j, labels, salt_plan=None, broadcast_labels=False):
         nbr_min = joined.groupBy(F.col("dst").alias("v")).agg(
             F.min("component").alias("nbr_min")
         )
+    if self_rows:
+        return nbr_min.withColumnRenamed("nbr_min", "component")
     return labels.join(nbr_min, "v", "left").select(
         "v",
         F.least(
@@ -121,6 +130,7 @@ def connected_components_minlabel(
         new_labels = cc_minlabel_round(
             und_j, labels, salt_plan=plan,
             broadcast_labels=prep.broadcast_labels,
+            self_rows=prep.self_rows,
         )
         # materialize FIRST (lineage truncation), then one aggregate over
         # the materialized frame decides convergence — no per-round

@@ -38,7 +38,10 @@ def symmetrize(edges: DataFrame) -> DataFrame:
 
 
 def symmetrize_partitioned(
-    edges: DataFrame, key: str = "dst", num_partitions: int | None = None
+    edges: DataFrame,
+    key: str = "dst",
+    num_partitions: int | None = None,
+    self_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Symmetrized canonical view hash-partitioned by ``key`` in ONE
     shuffle: cast/null/self-loop-filter both directions, union,
@@ -61,6 +64,18 @@ def symmetrize_partitioned(
     )
     rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     und = e.union(rev)
+    if self_pairs is not None:
+        # synthetic (v, v) rows — real self-loops were filtered above, so
+        # src == dst unambiguously marks them downstream. Iterative rounds
+        # use them to fold a vertex's OWN state into the per-dst
+        # aggregation (min includes own label; counts skip them via
+        # src != dst), eliminating the per-round finalize join entirely.
+        und = und.union(
+            self_pairs.select(
+                F.col(self_pairs.columns[0]).cast("long").alias("src"),
+                F.col(self_pairs.columns[0]).cast("long").alias("dst"),
+            )
+        )
     und = (
         und.repartition(num_partitions, key)
         if num_partitions

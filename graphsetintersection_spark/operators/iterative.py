@@ -50,6 +50,7 @@ class PreparedUnd:
     und_j: DataFrame  # symmetrized, partitioned, hub-marked when salted
     broadcast_labels: bool
     salt_plan: HubSaltPlan | None
+    self_rows: bool  # und_j carries synthetic (v, v) rows
     _caches: tuple
 
     def unpersist(self) -> None:
@@ -62,10 +63,16 @@ def prepare_undirected(
     broadcast_labels: bool | None = None,
     salt_hubs: int | str | None = "auto",
     num_partitions: int | None = None,
+    self_rows: bool = True,
 ) -> PreparedUnd:
     """One-time index build: symmetrize + partition for the chosen join
     strategy, cache, probe skew (shuffle path only). Callers own the
-    returned caches via ``unpersist()``."""
+    returned caches via ``unpersist()``.
+
+    ``self_rows`` appends a synthetic (v, v) row per vertex so each
+    round's per-dst aggregation sees the vertex's own state — the rounds
+    then emit one row per vertex straight from the aggregate and the
+    per-round labels⨝result finalize join disappears."""
     from graphsetintersection_spark.operators.edges import canonicalize
 
     # the partition key depends on the strategy, which depends on n — so
@@ -76,7 +83,12 @@ def prepare_undirected(
     if broadcast_labels is None:
         broadcast_labels = n <= BROADCAST_STATE_MAX_VERTICES
     key = "dst" if broadcast_labels else "src"
-    und = symmetrize_partitioned(edges, key, num_partitions=num_partitions)
+    und = symmetrize_partitioned(
+        edges,
+        key,
+        num_partitions=num_partitions,
+        self_pairs=verts if self_rows else None,
+    )
     if not broadcast_labels:
         und = und.sortWithinPartitions("src")
     und = und.persist()
@@ -104,6 +116,7 @@ def prepare_undirected(
         und_j=und_j,
         broadcast_labels=broadcast_labels,
         salt_plan=plan,
+        self_rows=self_rows,
         _caches=(und, verts),
     )
 

@@ -50,39 +50,54 @@ def lpa_round(
     labels: DataFrame,
     salt_plan: HubSaltPlan | None = None,
     broadcast_labels: bool = False,
+    self_rows: bool = False,
 ) -> DataFrame:
     """One synchronous LPA round over the symmetrized edge set. ``und``
     must carry a ``_hub`` column when ``salt_plan`` is given (mark_hubs).
     With ``broadcast_labels`` (and ``und`` cached dst-partitioned, see
     operators.iterative.prepare_undirected) the whole round's heavy side
     is exchange-free: broadcast join, then the (v=dst, label) count and
-    the per-v argmax both reuse the dst partitioning."""
+    the per-v argmax both reuse the dst partitioning.
+
+    ``self_rows``: ``und`` carries synthetic (v, v) rows (prepare's
+    default). They vote with COUNT ZERO — ``count(src != v)`` — so a
+    vertex's own label enters every argmax as the (0, own) floor: real
+    neighbor votes (cnt ≥ 1) always beat it, and a vertex with no
+    neighbors keeps its label. The round then emits one row per vertex
+    straight off the aggregate — no finalize join. Without self rows the
+    legacy labels⨝best left join folds the isolated vertices instead."""
     from graphsetintersection_spark.operators.iterative import state_join
 
     nbr_labels = state_join(und, labels, broadcast_labels).withColumnRenamed(
         "dst", "v"
     )
+    first = (
+        F.count(F.when(F.col("src") != F.col("v"), F.lit(1)))
+        if self_rows
+        else F.count("*")
+    )
     if salt_plan is not None:
         counts = two_stage_agg(
             nbr_labels,
             ["v", "label"],
-            F.count("*"),
+            first,
             F.sum,
             salt_from="src",
             salts=salt_plan.salts,
             out_col="cnt",
         )
     else:
-        counts = nbr_labels.groupBy("v", "label").agg(F.count("*").alias("cnt"))
+        counts = nbr_labels.groupBy("v", "label").agg(first.alias("cnt"))
     # argmax with (cnt desc, label asc) tie-break as ONE combinable
     # aggregate: max over struct(cnt, -label) — labels are non-negative
     # vertex ids, so -label inverts the order safely in int64
     best = counts.groupBy("v").agg(
         F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("m")
     ).select("v", (-F.col("m.neg")).alias("new_label"))
+    if self_rows:
+        return best.withColumnRenamed("new_label", "label")
     # labels carries every vertex (the loop invariant), so one left join
-    # folds isolated/no-incoming vertices — the old verts⨝best⨝labels
-    # double join was one 2M-row shuffle join per round for nothing
+    # folds isolated/no-incoming vertices
     return labels.join(best, "v", "left").select(
         "v", F.coalesce("new_label", "label").alias("label")
     )
@@ -123,6 +138,7 @@ def label_propagation(
         new_labels = lpa_round(
             und_j, labels, salt_plan=plan,
             broadcast_labels=prep.broadcast_labels,
+            self_rows=prep.self_rows,
         )
         if checkpointer is None:
             new_labels = new_labels.localCheckpoint(eager=True)
