@@ -104,3 +104,49 @@ def test_minlabel_salted_parity_on_hub_graph(spark):
     a = sorted((r["v"], r["component"]) for r in plain.components.collect())
     b = sorted((r["v"], r["component"]) for r in salted.components.collect())
     assert a == b
+
+
+def test_minlabel_round_plan_is_join_plus_aggregate(spark):
+    """Scale-plan regression guard: on the broadcast path over the
+    self-rows prepared frame, one CC round must be exactly broadcast-join
+    + min aggregate — no sort-merge join, no shuffle exchange in the
+    round's own plan (the cached frame's dst partitioning feeds the
+    aggregation directly). Same shape check for the LPA round."""
+    from pyspark.sql import functions as F
+
+    from graphsetintersection_spark.operators.components import (
+        cc_minlabel_round,
+    )
+    from graphsetintersection_spark.operators.iterative import (
+        prepare_undirected,
+    )
+    from graphsetintersection_spark.operators.labelprop import lpa_round
+
+    pairs = [(u, v) for u, v in random_graph(60, 300, seed=13) if u != v]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    prep = prepare_undirected(df)
+    assert prep.broadcast_labels and prep.self_rows
+
+    comp = prep.verts.select("v", F.col("v").alias("component"))
+    r = cc_minlabel_round(
+        prep.und_j, comp, broadcast_labels=True, self_rows=True
+    )
+    r.collect()  # finalize the adaptive plan
+    plan = r._jdf.queryExecution().executedPlan().toString()
+    # strip the cached relation's embedded build plan: everything after
+    # the InMemoryRelation line belongs to the one-time prep, not the round
+    round_plan = plan.split("InMemoryRelation")[0]
+    assert "SortMergeJoin" not in round_plan
+    assert "ShuffleExchange" not in round_plan.replace(
+        "BroadcastExchange", ""
+    ) and "Exchange hashpartitioning" not in round_plan
+    assert "BroadcastHashJoin" in round_plan
+
+    labels = prep.verts.select("v", F.col("v").alias("label"))
+    r2 = lpa_round(prep.und_j, labels, broadcast_labels=True, self_rows=True)
+    r2.collect()
+    plan2 = r2._jdf.queryExecution().executedPlan().toString()
+    round_plan2 = plan2.split("InMemoryRelation")[0]
+    assert "SortMergeJoin" not in round_plan2
+    assert "Exchange hashpartitioning" not in round_plan2
+    prep.unpersist()
