@@ -29,10 +29,13 @@ includes the eager localCheckpoint materialization and (CC) the
 content-signature convergence aggregate — they are part of every
 production round (operators/{labelprop,components}.py loop bodies).
 
-Usage: python BENCH/cc_lpa_scaling.py [shuffle_dir] [configs]
+Usage: python BENCH/cc_lpa_scaling.py [shuffle_dir] [configs] [passes] [rounds]
   shuffle_dir  e.g. /dev/shm/spark_local or "" for the default disk
                (default tmpfs)
   configs      comma list from {shuffle,broadcast} (default both)
+  passes       interleaved fresh-JVM passes per size, LO,HI,LO,HI,…
+               (default 1); pooled medians decorrelate slow host drift
+  rounds       measured rounds per JVM (default MEASURED_ROUNDS)
 Appends one JSON line per (cores, config) to /tmp/cc_lpa_results.jsonl.
 """
 
