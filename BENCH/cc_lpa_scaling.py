@@ -149,29 +149,42 @@ def main():
     configs = (
         sys.argv[2].split(",") if len(sys.argv) > 2 else ["shuffle", "broadcast"]
     )
+    passes = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    rounds = int(sys.argv[4]) if len(sys.argv) > 4 else MEASURED_ROUNDS
     if localdir:
         os.makedirs(localdir, exist_ok=True)
     subst = {"repo": REPO, "edges": EDGES_PATH, "sp": SHUFFLE_PARTITIONS,
-             "rounds": MEASURED_ROUNDS, "localdir": localdir}
+             "rounds": rounds, "localdir": localdir}
     from statistics import median
 
     out = {}
     for config in configs:
-        for cores in (LO, HI):
-            s0 = read_steal()
-            proc = subprocess.run(
-                [sys.executable, "-c", WORKER % subst, str(cores), config],
-                capture_output=True, text=True, cwd=REPO, timeout=7200,
-            )
-            if proc.returncode != 0:
-                raise RuntimeError(proc.stderr[-3000:])
-            line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-            r = json.loads(line)
-            r["steal"] = read_steal() - s0
-            out[(config, cores)] = r
-            with open(RESULTS, "a") as f:
-                f.write(json.dumps(r) + "\n")
-            print(json.dumps(r))
+        for _ in range(passes):
+            for cores in (LO, HI):
+                s0 = read_steal()
+                proc = subprocess.run(
+                    [sys.executable, "-c", WORKER % subst, str(cores), config],
+                    capture_output=True, text=True, cwd=REPO, timeout=7200,
+                )
+                if proc.returncode != 0:
+                    raise RuntimeError(proc.stderr[-3000:])
+                line = [
+                    l for l in proc.stdout.splitlines() if l.startswith("{")
+                ][-1]
+                r = json.loads(line)
+                r["steal"] = read_steal() - s0
+                with open(RESULTS, "a") as f:
+                    f.write(json.dumps(r) + "\n")
+                print(json.dumps(r))
+                if (config, cores) not in out:
+                    out[(config, cores)] = r
+                else:
+                    pooled = out[(config, cores)]
+                    pooled["lpa_secs"] += r["lpa_secs"]
+                    pooled["cc_secs"] += r["cc_secs"]
+                    pooled["steal"] += r["steal"]
+                    assert pooled["lpa_distinct"] == r["lpa_distinct"]
+                    assert pooled["cc_distinct"] == r["cc_distinct"]
 
     for config in configs:
         lo, hi = out[(config, LO)], out[(config, HI)]
