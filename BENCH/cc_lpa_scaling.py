@@ -149,8 +149,17 @@ def main():
     configs = (
         sys.argv[2].split(",") if len(sys.argv) > 2 else ["shuffle", "broadcast"]
     )
+    # Validate up front: a typo like "bcast" would otherwise silently run
+    # the shuffle path (the worker's bl assert passes with both sides
+    # False) and log results under the bogus label; passes=0 would leave
+    # `out` empty and KeyError in the summary loop.
+    bad = [c for c in configs if c not in ("shuffle", "broadcast")]
+    if bad:
+        raise SystemExit(f"unknown config(s) {bad}; use shuffle,broadcast")
     passes = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     rounds = int(sys.argv[4]) if len(sys.argv) > 4 else MEASURED_ROUNDS
+    if passes < 1 or rounds < 1:
+        raise SystemExit("passes and rounds must be >= 1")
     if localdir:
         os.makedirs(localdir, exist_ok=True)
     subst = {"repo": REPO, "edges": EDGES_PATH, "sp": SHUFFLE_PARTITIONS,

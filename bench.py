@@ -227,11 +227,56 @@ def main() -> None:
     ):
         timed(name, lambda n=name: q[n](spark, SF_DIR).collect())
 
-    # ---- oracle-gated graph queries at this sf
-    for name in ("triangle_count", "pagerank", "degree_relabel"):
-        timed(f"lgraph_{name}", lambda n=name: q[n](spark, SF_DIR).collect())
+    # ---- production-regime LSH keys (VERDICT r4 "What's missing" #2).
+    # The gate keys above run the provably-exact high-recall ORACLE
+    # regimes (256-perm/256-band minhash, hamming-7 simhash, 64-table
+    # ANN) whose cost tracks the oracle harness; these keys time the
+    # production configurations over the full documents/embeddings
+    # tables so round-over-round perf diffs measure the engine.
+    from graphsetintersection_spark.functions.dedup import (
+        minhash_lsh_pairs,
+        simhash_neardup_pairs,
+    )
+    from graphsetintersection_spark.functions.similarity import lsh_ann_topk
+
+    docs_full = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    timed(
+        "minhash_lsh_prod",
+        lambda: minhash_lsh_pairs(
+            docs_full, num_perm=128, bands=32, threshold=0.5,
+            verify=True, verify_hashed=True,
+        ).collect(),
+    )
+    timed(
+        "simhash_prod",
+        lambda: simhash_neardup_pairs(
+            docs_full, max_hamming=3, threshold=0.5, verify_hashed=True
+        ).collect(),
+    )
+    vecs = read_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    qv = vecs.where(F.col("vec_id") < 8)
+    timed(
+        "ann_lsh_prod",
+        lambda: lsh_ann_topk(qv, vecs, k=5, n_planes=8, n_tables=8).collect(),
+    )
 
     total = round(sum(timings.values()), 3)
+    # Diagnostics (per-query spread, kernel counters, comp_ratio) go to a
+    # side file + a SEPARATE line printed BEFORE the headline: the driver
+    # records the last ~2000 chars of stdout, and r4's all-in-one line
+    # outgrew that window, losing its own "value" field (BENCH_r04.json
+    # parsed: null). The headline line stays last and compact.
+    details = {
+        "spread": spreads,
+        "tc_counters": tc_counters,
+        "comp_ratio": comp,
+    }
+    details_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"
+    )
+    with open(details_path, "w") as f:
+        json.dump(details, f)
+    print(json.dumps({"details": details}))
     print(
         json.dumps(
             {
@@ -240,13 +285,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "spread": spreads,
                 "sf": _sf_from_dir(SF_DIR),
                 "n_pages": n_pages,
                 "n_edges": n_edges,
                 "triangles": tri,
-                "tc_counters": tc_counters,
-                "comp_ratio": comp,
                 "cpus": CPUS,
                 "throughput": throughput,
             }

@@ -56,10 +56,20 @@ def cc_minlabel_round(
     ``self_rows``: ``und_j`` carries synthetic (v, v) rows (prepare's
     default), so each vertex's OWN component flows through the join and
     min(own, neighbors) IS the aggregate — the round is join + one
-    aggregation, no finalize join, one output row per vertex."""
-    from graphsetintersection_spark.operators.iterative import state_join
+    aggregation, no finalize join, one output row per vertex.
+
+    ``und_j`` may be the ``PreparedUnd`` itself — then salt_plan /
+    broadcast_labels / self_rows are taken from it and must not be passed
+    (operators.iterative.resolve_round_args, ADVICE r4 #3)."""
+    from graphsetintersection_spark.operators.iterative import (
+        resolve_round_args,
+        state_join,
+    )
     from graphsetintersection_spark.plans.skew import two_stage_agg
 
+    und_j, salt_plan, broadcast_labels, self_rows = resolve_round_args(
+        und_j, salt_plan, broadcast_labels, self_rows
+    )
     joined = state_join(und_j, labels, broadcast_labels)
     if salt_plan is not None:
         nbr_min = two_stage_agg(
@@ -100,11 +110,7 @@ def connected_components_minlabel(
     two-stage salted aggregation of the per-round neighbor-min for
     Zipf-hub dst keys; "auto" probes skew only on graphs large enough for
     it to matter (plans.skew.decide_hub_salting)."""
-    from graphsetintersection_spark.plans.skew import (
-        content_signature,
-        decide_hub_salting,
-        mark_hubs,
-    )
+    from graphsetintersection_spark.plans.skew import content_signature
 
     from graphsetintersection_spark.operators.iterative import (
         prepare_undirected,
@@ -112,7 +118,7 @@ def connected_components_minlabel(
 
     spark = edges.sparkSession
     prep = prepare_undirected(edges, salt_hubs=salt_hubs)
-    verts, und_j, plan = prep.verts, prep.und_j, prep.salt_plan
+    verts = prep.verts
 
     labels = verts.select("v", F.col("v").alias("component"))
     start = 0
@@ -127,11 +133,7 @@ def connected_components_minlabel(
     rounds = start
     prev_snapshot: DataFrame | None = None  # superseded localCheckpoint
     for rounds in range(start, max_rounds):
-        new_labels = cc_minlabel_round(
-            und_j, labels, salt_plan=plan,
-            broadcast_labels=prep.broadcast_labels,
-            self_rows=prep.self_rows,
-        )
+        new_labels = cc_minlabel_round(prep, labels)
         # materialize FIRST (lineage truncation), then one aggregate over
         # the materialized frame decides convergence — no per-round
         # changed-count join-shuffle

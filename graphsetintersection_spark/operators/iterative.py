@@ -121,6 +121,31 @@ def prepare_undirected(
     )
 
 
+def resolve_round_args(
+    und_or_prep, salt_plan, broadcast_labels, self_rows
+):
+    """Resolve a round's (und_j, salt_plan, broadcast_labels, self_rows).
+
+    Rounds accept the ``PreparedUnd`` itself as the edge argument — the
+    safe calling convention (ADVICE r4 #3): the three strategy flags
+    travel WITH the prepared frame, so a caller cannot pair self-row
+    edges with ``self_rows=False`` (which would silently count each
+    synthetic (v, v) row as a real vote in LPA's count aggregate).
+    Passing a PreparedUnd together with explicit non-default flags is an
+    error — the flags are the prep's to own. Raw-DataFrame callers keep
+    the explicit flags (tests build hand-rolled frames)."""
+    if isinstance(und_or_prep, PreparedUnd):
+        if salt_plan is not None or broadcast_labels or self_rows:
+            raise ValueError(
+                "pass either a PreparedUnd OR explicit flags, not both — "
+                "the prep already carries salt_plan/broadcast_labels/"
+                "self_rows"
+            )
+        p = und_or_prep
+        return p.und_j, p.salt_plan, p.broadcast_labels, p.self_rows
+    return und_or_prep, salt_plan, broadcast_labels, self_rows
+
+
 def state_join(
     und_j: DataFrame, labels: DataFrame, broadcast_labels: bool
 ) -> DataFrame:

@@ -65,9 +65,19 @@ def lpa_round(
     neighbor votes (cnt ≥ 1) always beat it, and a vertex with no
     neighbors keeps its label. The round then emits one row per vertex
     straight off the aggregate — no finalize join. Without self rows the
-    legacy labels⨝best left join folds the isolated vertices instead."""
-    from graphsetintersection_spark.operators.iterative import state_join
+    legacy labels⨝best left join folds the isolated vertices instead.
 
+    ``und`` may be the ``PreparedUnd`` itself — then salt_plan /
+    broadcast_labels / self_rows are taken from it and must not be passed
+    (operators.iterative.resolve_round_args, ADVICE r4 #3)."""
+    from graphsetintersection_spark.operators.iterative import (
+        resolve_round_args,
+        state_join,
+    )
+
+    und, salt_plan, broadcast_labels, self_rows = resolve_round_args(
+        und, salt_plan, broadcast_labels, self_rows
+    )
     nbr_labels = state_join(und, labels, broadcast_labels).withColumnRenamed(
         "dst", "v"
     )
@@ -120,7 +130,7 @@ def label_propagation(
 
     spark = edges.sparkSession
     prep = prepare_undirected(edges, salt_hubs=salt_hubs)
-    verts, und_j, plan = prep.verts, prep.und_j, prep.salt_plan
+    verts = prep.verts
 
     labels = verts.select("v", F.col("v").alias("label"))
     start = 0
@@ -135,11 +145,7 @@ def label_propagation(
     rounds = start
     prev_snapshot: DataFrame | None = None  # superseded localCheckpoint
     for rounds in range(start, max_rounds):
-        new_labels = lpa_round(
-            und_j, labels, salt_plan=plan,
-            broadcast_labels=prep.broadcast_labels,
-            self_rows=prep.self_rows,
-        )
+        new_labels = lpa_round(prep, labels)
         if checkpointer is None:
             new_labels = new_labels.localCheckpoint(eager=True)
         changed = None

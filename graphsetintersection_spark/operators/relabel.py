@@ -314,14 +314,22 @@ def hybrid_bfsdeg_order(edges: DataFrame, max_levels: int = 64) -> DataFrame:
     intersections like deg_desc_order) while equal-degree vertices keep
     BFS locality.
 
-    Distributed re-expression: the BFS index class is the rank over
-    (level asc, v asc) from the smallest-id root (the reference seeds its
-    BFS scan at vertex 0 and restarts in id order, :99-113); since that
-    rank is monotone in (level, v), ordering by (deg desc, bfs_rank asc)
-    equals ordering by (deg desc, level asc, v asc) — ONE two-phase rank,
-    no second shuffle. Vertices unreachable within ``max_levels`` sort
-    after reached ones of equal degree (level = max_levels + 1), the same
-    final-wave convention as bfs_order."""
+    Distributed re-expression — a documented DEVIATION, not an exact
+    mirror (like the other re-expressed orderings): the BFS tiebreak here
+    is the rank over (level asc, v asc) from the smallest-id root, one
+    two-phase rank with no second shuffle. The reference instead ranks by
+    its queue DISCOVERY index, which within a level follows parent/
+    adjacency order, not ascending id (e.g. edges 0→2, 0→3, 2→5, 3→4
+    discover 5 before 4), and it restarts a fresh BFS per component in id
+    order (:99-113) while this implementation puts every vertex
+    unreachable from the first root (or beyond ``max_levels``) in one
+    final level = max_levels + 1 bucket ordered by id. Both choices
+    preserve the ordering's intent — hubs first, equal-degree vertices
+    grouped by BFS locality — but equal-degree vertices may permute
+    differently than src/porder.cpp within a level and across later
+    components. The correctness gate's SQL oracle encodes THIS
+    re-expression (level/id tiebreak), so it pins this implementation's
+    semantics, not reference-exact parity."""
     spark = edges.sparkSession
     deg = degrees(edges).persist()
     root_row = deg.orderBy(F.col("v").asc()).first()
@@ -593,57 +601,76 @@ def mloggapa_order(
     in_ptr, in_nbr = csr(dst_a, src_a)     # u -> in-neighbors
 
     def member_pairs(members, indptr, nbr):
-        """(q, m) pair arrays: each member m repeated per its neighbor q —
-        the CSR slices of all members gathered in one fancy-index pass."""
+        """(q, mpos) pair arrays: each member's LOCAL position (its index
+        in ``members``) repeated per its neighbor q — the CSR slices of
+        all members gathered in one fancy-index pass. Local positions
+        keep every downstream array sized by the PART, not the graph
+        (ADVICE r4 #2: per-part np.zeros(n)/minlength=n made deep
+        recursion O(max_iters · n²/min_part) — infeasible at the 2M
+        driver cap; with part-local arrays a whole recursion LEVEL is
+        O(E + n), so the total is O(max_iters · (E + n) · log n))."""
         cnt = indptr[members + 1] - indptr[members]
         total = int(cnt.sum())
         if total == 0:
             z = np.empty(0, dtype=np.int64)
             return z, z
-        m_rep = np.repeat(members, cnt)
+        mpos = np.repeat(np.arange(len(members), dtype=np.int64), cnt)
         slice_start = np.cumsum(cnt) - cnt  # first global pos of each slice
         offset = np.arange(total) - np.repeat(slice_start, cnt)
         q = nbr[np.repeat(indptr[members], cnt) + offset]
-        return q, m_rep
+        return q, mpos
 
     def cost(n1, q1, n2, q2):
         return q1 * np.log2(n1 / (q1 + 1.0)) + q2 * np.log2(n2 / (q2 + 1.0))
 
     def static_gain(left, right):
+        """Gain vectors ALIGNED WITH left/right order (gl[i] is the gain
+        of vertex left[i]); neighbor counts are compressed onto the
+        touched-q domain via np.unique — no full-size-n scatter."""
         ln, rn = len(left), len(right)
-        gain = np.zeros(n)
+        gl, gr = np.zeros(ln), np.zeros(rn)
         for indptr, nbr in ((out_ptr, out_nbr), (in_ptr, in_nbr)):
-            ql, ml = member_pairs(left, indptr, nbr)
-            qr, mr = member_pairs(right, indptr, nbr)
-            cl = np.bincount(ql, minlength=n)
-            cr = np.bincount(qr, minlength=n)
+            ql, pl = member_pairs(left, indptr, nbr)
+            qr, pr = member_pairs(right, indptr, nbr)
+            uq, qinv = np.unique(
+                np.concatenate([ql, qr]), return_inverse=True
+            )
+            il, ir = qinv[: len(ql)], qinv[len(ql):]
+            cl = np.bincount(il, minlength=len(uq))
+            cr = np.bincount(ir, minlength=len(uq))
             if len(ql):
-                dl, dr = cl[ql], cr[ql]
+                dl, dr = cl[il], cr[il]
                 mc = cost(ln, dl, rn, dr) - cost(ln, dl - 1, rn, dr + 1)
-                gain += np.bincount(ml, weights=mc, minlength=n)
+                gl += np.bincount(pl, weights=mc, minlength=ln)
             if len(qr):
-                dl, dr = cl[qr], cr[qr]
+                dl, dr = cl[ir], cr[ir]
                 mc = cost(ln, dl, rn, dr) - cost(ln, dl + 1, rn, dr - 1)
-                gain += np.bincount(mr, weights=mc, minlength=n)
-        return gain
+                gr += np.bincount(pr, weights=mc, minlength=rn)
+        return gl, gr
 
     def bisect(part: np.ndarray) -> np.ndarray:
         if len(part) < min_part:
             return part
         mid = len(part) // 2
-        left, right = part[:mid], part[mid:]
-        gain = static_gain(left, right)
+        left, right = part[:mid].copy(), part[mid:].copy()
+        gl, gr = static_gain(left, right)
         for _ in range(max_iters):
-            left = left[np.argsort(-gain[left], kind="stable")]
-            right = right[np.argsort(-gain[right], kind="stable")]
+            ol = np.argsort(-gl, kind="stable")
+            left, gl = left[ol], gl[ol]
+            orr = np.argsort(-gr, kind="stable")
+            right, gr = right[orr], gr[orr]
             m = min(len(left), len(right))
-            pos = gain[left[:m]] + gain[right[:m]] > 0
+            pos = gl[:m] + gr[:m] > 0
             k = int(m if pos.all() else np.argmin(pos))
             if k == 0:
                 break
             left[:k], right[:k] = right[:k].copy(), left[:k].copy()
             if recompute_gains:
-                gain = static_gain(left, right)
+                gl, gr = static_gain(left, right)
+            else:
+                # static gains are per-VERTEX — values travel with the
+                # swapped vertices, exactly as the old gain[v] indexing did
+                gl[:k], gr[:k] = gr[:k].copy(), gl[:k].copy()
         return np.concatenate([bisect(left), bisect(right)])
 
     layout = bisect(np.arange(n, dtype=np.int64))

@@ -121,17 +121,19 @@ def _edge_with_lower_adj(
     e = orient(edges).select("src", "dst")
     adj = lower_adjacency(e)
     persisted: DataFrame | None = None
-    if hub_deg_ratio == "auto":
-        # probe the LAZY adjacency first; persist only if the split engages
-        # (small inputs then pay one aggregate instead of a cache they
-        # don't need — the r2 bench's scale-insurance premium)
-        hub_deg_ratio = _auto_hub_ratio(adj)
-        if hub_deg_ratio is not None:
-            adj = adj.persist()
-            persisted = adj
-    elif hub_deg_ratio is not None:
-        adj = adj.persist()  # reused by both joins + the threshold scan
+    if hub_deg_ratio is not None:
+        # Persist BEFORE the auto probe: the probe's aggregate materializes
+        # the cache, so the adjacency groupBy executes exactly once per
+        # count whether or not the split engages — Spark does not dedupe
+        # common subtrees, so an unpersisted adj would otherwise be rebuilt
+        # independently by BOTH joins below (up to 3 builds per count; the
+        # r4 lgraph_triangle_count 7.6s→14.7s regression). The cache is one
+        # row per vertex — cheap insurance at any scale. The caller
+        # unpersists it (see contract above).
+        adj = adj.persist()
         persisted = adj
+        if hub_deg_ratio == "auto":
+            hub_deg_ratio = _auto_hub_ratio(adj)
     j1 = _join_adj(e, adj, "src", "nbrs_a", hub_deg_ratio)
     j2 = _join_adj(j1, adj, "dst", "nbrs_b", hub_deg_ratio)
     return j2.select("src", "dst", "nbrs_a", "nbrs_b"), persisted

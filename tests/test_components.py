@@ -1,6 +1,8 @@
 """Connected components: union-find oracle + cross-implementation parity
 (minlabel vs star-contraction — the reference's Org/BP/Roaring pattern)."""
 
+import pytest
+
 from tests.conftest import random_graph, undirected_simple
 
 from graphsetintersection_spark.operators.components import (
@@ -128,25 +130,29 @@ def test_minlabel_round_plan_is_join_plus_aggregate(spark):
     assert prep.broadcast_labels and prep.self_rows
 
     comp = prep.verts.select("v", F.col("v").alias("component"))
-    r = cc_minlabel_round(
-        prep.und_j, comp, broadcast_labels=True, self_rows=True
-    )
+    # the prep-passing convention: flags travel with the prepared frame
+    # (ADVICE r4 #3) — passing prep + explicit flags is an error
+    with pytest.raises(ValueError):
+        cc_minlabel_round(prep, comp, self_rows=True)
+    r = cc_minlabel_round(prep, comp)
     r.collect()  # finalize the adaptive plan
     plan = r._jdf.queryExecution().executedPlan().toString()
     # strip the cached relation's embedded build plan: everything after
     # the InMemoryRelation line belongs to the one-time prep, not the round
     round_plan = plan.split("InMemoryRelation")[0]
     assert "SortMergeJoin" not in round_plan
-    assert "ShuffleExchange" not in round_plan.replace(
-        "BroadcastExchange", ""
-    ) and "Exchange hashpartitioning" not in round_plan
+    # Spark prints shuffle nodes as "Exchange hashpartitioning(...)" /
+    # "Exchange rangepartitioning(...)" / "Exchange SinglePartition" —
+    # never "ShuffleExchange" (ADVICE r4 #4: that spelling was vacuous).
+    # After stripping broadcasts, ANY remaining "Exchange " is a shuffle.
+    assert "Exchange " not in round_plan.replace("BroadcastExchange", "")
     assert "BroadcastHashJoin" in round_plan
 
     labels = prep.verts.select("v", F.col("v").alias("label"))
-    r2 = lpa_round(prep.und_j, labels, broadcast_labels=True, self_rows=True)
+    r2 = lpa_round(prep, labels)
     r2.collect()
     plan2 = r2._jdf.queryExecution().executedPlan().toString()
     round_plan2 = plan2.split("InMemoryRelation")[0]
     assert "SortMergeJoin" not in round_plan2
-    assert "Exchange hashpartitioning" not in round_plan2
+    assert "Exchange " not in round_plan2.replace("BroadcastExchange", "")
     prep.unpersist()
