@@ -186,6 +186,22 @@ def _q_connected_components_minlabel(spark, sf_dir):
     return res.components.select("v", "component")
 
 
+def _q_connected_components_auto(spark, sf_dir):
+    """Strategy-auto CC gated on the SAME recursive-CTE oracle.
+    probe_rounds=2 deliberately undershoots the gate graph's diameter so
+    the oracle exercises the COMPOSED path (min-label probe → contract to
+    partial labels → star contraction → compose) — the branch a plain run
+    on this low-diameter graph would never take."""
+    from graphsetintersection_spark.operators.components import (
+        connected_components_auto,
+    )
+
+    res = connected_components_auto(
+        _sgraph(spark, sf_dir), probe_rounds=2, max_rounds=30
+    )
+    return res.components.select("v", "component")
+
+
 def _q_label_propagation(spark, sf_dir):
     from graphsetintersection_spark.operators.labelprop import label_propagation
 
@@ -396,6 +412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_kernel": _q_pagerank_kernel,
         "connected_components": _q_connected_components,
         "connected_components_minlabel": _q_connected_components_minlabel,
+        "connected_components_auto": _q_connected_components_auto,
         "label_propagation": _q_label_propagation,
         "subgraph_match_triangle": _q_subgraph_match_triangle,
         "maximal_cliques": _q_maximal_cliques,
@@ -931,6 +948,7 @@ where e1.u <> e2.w
         "pagerank_kernel": _pagerank_oracle_sql(),
         "connected_components": _CC_ORACLE_SQL,
         "connected_components_minlabel": _CC_ORACLE_SQL,
+        "connected_components_auto": _CC_ORACLE_SQL,
         "label_propagation": _lpa_oracle_sql(),
     }
 

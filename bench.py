@@ -227,6 +227,12 @@ def main() -> None:
     ):
         timed(name, lambda n=name: q[n](spark, SF_DIR).collect())
 
+    # ---- oracle-gated graph queries at this sf (the lgraph_* keys the
+    # round-over-round trend tracks — lgraph_triangle_count is the
+    # adjacency-persist fix's regression guard)
+    for name in ("triangle_count", "pagerank", "degree_relabel"):
+        timed(f"lgraph_{name}", lambda n=name: q[n](spark, SF_DIR).collect())
+
     # ---- production-regime LSH keys (VERDICT r4 "What's missing" #2).
     # The gate keys above run the provably-exact high-recall ORACLE
     # regimes (256-perm/256-band minhash, hamming-7 simhash, 64-table

@@ -87,12 +87,23 @@ def main() -> None:
 
     if "triangles" in algos:
         from graphsetintersection_spark.operators.triangle import (
-            triangle_count_kernel,
+            triangle_count_kernel_with_stats,
         )
 
         t0 = time.perf_counter()
-        report["triangles"] = triangle_count_kernel(edges)
+        tri, tc_counters = triangle_count_kernel_with_stats(edges)
+        report["triangles"] = tri
+        # the reference's per-run profiling counters (src/tc.cpp:46,
+        # maintained at src/set_operation.cpp:903-905)
+        report["tc_counters"] = tc_counters
         report["triangles_sec"] = round(time.perf_counter() - t0, 2)
+        ckm = ck("triangles")
+        if ckm is not None:
+            # persist the profiling trail into the checkpoint manifest
+            # (VERDICT r4 next-round #8): at-scale runs keep inter_cnt/
+            # cmp_cnt per committed result, like the reference's tc print
+            snap = spark.createDataFrame([(tri,)], "triangles long")
+            ckm.commit(snap, 0, metrics={"triangles": tri, **tc_counters})
 
     if "pagerank" in algos:
         from graphsetintersection_spark.operators.pagerank import (

@@ -156,3 +156,41 @@ def test_minlabel_round_plan_is_join_plus_aggregate(spark):
     assert "SortMergeJoin" not in round_plan2
     assert "Exchange " not in round_plan2.replace("BroadcastExchange", "")
     prep.unpersist()
+
+
+def test_components_auto_both_branches(spark):
+    """connected_components_auto: probe-converges branch on a low-diameter
+    graph; composed fallback (partial min-label → contract → star
+    contraction → compose) on a long chain whose diameter exceeds the
+    probe. Both must equal the union-find oracle exactly."""
+    from pyspark.sql import functions as F
+
+    from graphsetintersection_spark.operators.components import (
+        connected_components_auto,
+    )
+
+    # low diameter: random graph + an island pair — probe converges
+    # (no self-loop-only vertices: canonicalize drops self-loops, so such
+    # a vertex is not part of the graph under engine semantics)
+    pairs = [(u, v) for u, v in random_graph(80, 400, seed=21) if u != v]
+    pairs += [(200, 201), (203, 204)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    oracle = union_find_components(pairs)
+    res = connected_components_auto(df, probe_rounds=12)
+    assert _collect(res.components) == oracle
+    assert res.converged
+
+    # high diameter: a 120-vertex chain + a separate triangle — the probe
+    # cannot converge in 3 rounds, so the star-contraction fallback runs
+    chain = [(i, i + 1) for i in range(120)]
+    chain += [(500, 501), (501, 502), (500, 502)]
+    cdf = spark.createDataFrame(chain, "src long, dst long")
+    coracle = union_find_components(chain)
+    cres = connected_components_auto(cdf, probe_rounds=3, max_rounds=30)
+    assert _collect(cres.components) == coracle
+    assert cres.converged
+    assert cres.rounds > 3  # the fallback actually ran extra rounds
+
+    # the composed path must also match plain star contraction
+    plain = connected_components_starcontraction(cdf, max_rounds=30)
+    assert _collect(cres.components) == _collect(plain.components)
