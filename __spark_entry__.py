@@ -331,6 +331,23 @@ def _q_ann_lsh(spark, sf_dir):
     )
 
 
+def _q_ann_ivf(spark, sf_dir):
+    """IVF ANN in its provably-exact regime (n_probe == n_cells: every
+    cell is probed, so the candidate set is ALL vectors and the output
+    equals brute force by construction — no probabilistic argument
+    needed). The SAME DuckDB oracle as ann_cosine_topk applies.
+    Production IVF runs n_probe ≪ n_cells; that regime's recall is
+    pytest-covered and benched as ann_ivf_prod."""
+    from graphsetintersection_spark.functions.similarity import ivf_ann_topk
+
+    vecs = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = vecs.where(F.col("vec_id") < ANN_QUERIES)
+    out = ivf_ann_topk(q, vecs, k=ANN_K, n_cells=8, n_probe=8)
+    return out.select(
+        "query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 SM_LABELS = 7  # data labels for the matching query: label(v) = v % 7
 
 
@@ -428,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": _q_simhash,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "event_sessionize": _q_event_sessionize,
     }
 
@@ -763,6 +781,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_lsh_topk": _ann_oracle_sql(),
         "ann_cosine_topk": _ann_oracle_sql(),
+        "ann_ivf_topk": _ann_oracle_sql(),
         "event_sessionize": _SESSIONIZE_SQL,
         "lgraph_edges": f"with edges as ({_LGRAPH_EDGES}) select src, dst from edges",
         "degree_table": f"""

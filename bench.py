@@ -265,6 +265,12 @@ def main() -> None:
         "ann_lsh_prod",
         lambda: lsh_ann_topk(qv, vecs, k=5, n_planes=8, n_tables=8).collect(),
     )
+    from graphsetintersection_spark.functions.similarity import ivf_ann_topk
+
+    timed(
+        "ann_ivf_prod",
+        lambda: ivf_ann_topk(qv, vecs, k=5, n_cells=16, n_probe=4).collect(),
+    )
 
     total = round(sum(timings.values()), 3)
     # Diagnostics (per-query spread, kernel counters, comp_ratio) go to a

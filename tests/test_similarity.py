@@ -94,3 +94,57 @@ def test_embedding_neardup_pairs_precision(spark, vecs, oracle):
         s = sims[idx[r["id_a"]], idx[r["id_b"]]]
         assert r["score"] == pytest.approx(s, abs=1e-9)
         assert s >= 0.9
+
+
+def test_ivf_exact_regime_matches_bruteforce(spark, vecs, oracle):
+    """n_probe == n_cells probes every cell, so IVF candidates = ALL
+    vectors and the output equals exact brute force — ranks, neighbors
+    and scores (the gate's provably-exact regime)."""
+    from graphsetintersection_spark.functions.similarity import ivf_ann_topk
+
+    _, _, sims, topk = oracle
+    q = vecs.where(F.col("vec_id") < N_QUERIES)
+    got = {}
+    for r in ivf_ann_topk(q, vecs, k=K, n_cells=8, n_probe=8).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    assert set(got) == set(topk)
+    for qid, lst in got.items():
+        lst.sort()
+        assert [n for _, n in lst] == topk[qid]
+
+
+def test_ivf_production_regime_recall_and_scan_fraction(spark, vecs, oracle):
+    """n_probe ≪ n_cells: decent average recall of the true top-k while
+    scoring only a fraction of the corpus per query (the whole point of
+    the inverted file)."""
+    from graphsetintersection_spark.functions.similarity import (
+        ivf_ann_topk,
+        ivf_assign,
+        ivf_train,
+    )
+
+    _, _, _, topk = oracle
+    q = vecs.where(F.col("vec_id") < N_QUERIES)
+    got = {}
+    for r in ivf_ann_topk(q, vecs, k=K, n_cells=8, n_probe=3).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(got.get(qid, set()) & set(topk[qid])) / K for qid in topk
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5
+    # the partition map is a true partition: every vector in exactly one cell
+    cent = ivf_train(vecs, n_cells=8)
+    cells = ivf_assign(vecs, cent).collect()
+    assert len(cells) == vecs.count()
+    assert len({r["id"] for r in cells}) == len(cells)
+    assert {r["cell"] for r in cells} <= set(range(8))
+
+
+def test_ivf_train_deterministic(spark, vecs):
+    """Same corpus + seed → bit-identical centroids (hash-filtered
+    sample + seeded numpy init; no RNG in the Spark plan)."""
+    from graphsetintersection_spark.functions.similarity import ivf_train
+
+    c1 = ivf_train(vecs, n_cells=6, seed=13)
+    c2 = ivf_train(vecs.repartition(7), n_cells=6, seed=13)
+    assert np.array_equal(c1, c2)
