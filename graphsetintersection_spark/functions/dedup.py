@@ -111,6 +111,28 @@ def shingles(
     )
 
 
+def _doc_shingle_hashes(t, n: int):
+    """Unique int64 rolling hashes of one document's byte n-grams, or
+    None for null/short texts — the single definition both the shingle
+    kernel and the fused minhash kernel roll (same hashes, so hashed
+    verify and kernel signatures agree bit-for-bit). Runs on executors:
+    cloudpickle serializes the closure's reference, workers re-import
+    this module."""
+    import numpy as np
+
+    if t is None:
+        return None
+    b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+    if len(b) < n:
+        return None
+    win = np.lib.stride_tricks.sliding_window_view(b, n)
+    h = np.zeros(len(win), dtype=np.uint64)
+    mult = np.uint64(0x100000001B3)  # FNV-1a prime as odd multiplier
+    for k in range(n):
+        h = h * mult + win[:, k]
+    return np.unique(h).view(np.int64)
+
+
 def hashed_shingles(
     docs: DataFrame,
     n: int = 5,
@@ -140,23 +162,15 @@ def hashed_shingles(
         import numpy as np
         import pyarrow as pa
 
-        mult = np.uint64(0x100000001B3)  # FNV-1a prime as odd multiplier
         for batch in batches:
             ids = batch.column(0).to_pylist()
             texts = batch.column(1).to_pylist()
             out_ids: list[int] = []
             out_h: list[np.ndarray] = []
             for did, t in zip(ids, texts):
-                if t is None:
+                hu = _doc_shingle_hashes(t, n)
+                if hu is None:
                     continue
-                b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-                if len(b) < n:
-                    continue
-                win = np.lib.stride_tricks.sliding_window_view(b, n)
-                h = np.zeros(len(win), dtype=np.uint64)
-                for k in range(n):
-                    h = h * mult + win[:, k]
-                hu = np.unique(h).view(np.int64)
                 out_ids.extend([did] * len(hu))
                 out_h.append(hu)
             hcat = (
@@ -230,27 +244,99 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: int = 1,
+    method: str = "auto",
 ) -> DataFrame:
     """(doc_id, sig: array<long>) MinHash signatures.
 
-    Shingle → xxhash64 → P universal-hash permutations
+    Shingle → rolling 64-bit hash → P universal-hash permutations
     h_p(x) = (a_p·x + b_p) mod 2^31-1, min per doc per permutation.
-    The per-permutation minimum runs as P independent ``min`` AGGREGATE
-    COLUMNS in one groupBy — map-side combinable with a fixed P-long
-    aggregation buffer per doc. (The r2 form folded a ``collect_list`` of
-    one P-long array per shingle and reduced it with ``zip_with``: a
-    100k-shingle document held P·100k longs in one aggregation buffer row
-    — a row-level memory hazard on long docs, VERDICT r2 #2. This form is
-    O(P) per doc regardless of length, and the plan shows partial_min.)
 
-    Shingle hashes come from the LINEAR ``hashed_shingles`` kernel — the
-    JVM substr shingle path is O(len²) per document (see that op's
-    docstring) and MinHash never needs the shingle strings."""
+    ``method``:
+
+    - ``"kernel"`` (the ``"auto"`` default — the scale path): the
+      signature is computed INSIDE the same Arrow pass that rolls the
+      shingle hashes (``_doc_shingle_hashes``): per document, one
+      (n_shingles × P) broadcast-multiply + min reduction in numpy.
+      ZERO shuffle — the shingle table (10-100× the corpus row count)
+      never exists as a Spark frame, and the map emits exactly one
+      P-long row per document. All arithmetic is exact int64
+      (h < 2^31, a < 2^31 → a·h < 2^62), so kernel signatures are
+      bit-identical to the agg path's (pytest-pinned).
+    - ``"agg"``: shingle rows from ``hashed_shingles``, then the P
+      per-permutation minima as P independent ``min`` AGGREGATE COLUMNS
+      in one groupBy — map-side combinable with a fixed P-long buffer
+      per doc (plan shows partial_min; the relational form, kept as the
+      Catalyst-visible fallback). Shuffles (doc_id, P mins) per doc
+      after partial aggregation — fine, but the explode itself and the
+      P interpreted hash expressions PER SHINGLE ROW cost ~2× the fused
+      kernel at P = 128 (measured sf0.1).
+
+    (The r2 form folded a ``collect_list`` of one P-long array per
+    shingle and reduced it with ``zip_with``: a 100k-shingle document
+    held P·100k longs in one aggregation buffer row — a row-level memory
+    hazard on long docs, VERDICT r2 #2. Both current forms are O(P) per
+    doc regardless of length.)
+
+    Both paths hash shingles with the LINEAR rolling kernel — the JVM
+    substr shingle path is O(len²) per document (see
+    ``hashed_shingles``) and MinHash never needs the shingle strings."""
     import random
 
     rnd = random.Random(seed)
     params = [(rnd.randrange(1, _MH_PRIME, 2), rnd.randrange(0, _MH_PRIME))
               for _ in range(num_perm)]
+    if method == "auto":
+        method = "kernel"
+    if method == "kernel":
+        import numpy as np
+
+        a_vec = np.array([a for a, _ in params], dtype=np.int64)
+        b_vec = np.array([b for _, b in params], dtype=np.int64)
+        src = docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
+        )
+
+        def gen(batches):
+            import pyarrow as pa
+
+            prime = np.int64(_MH_PRIME)
+            for batch in batches:
+                ids = batch.column(0).to_pylist()
+                texts = batch.column(1).to_pylist()
+                out_ids: list[int] = []
+                sigs: list[np.ndarray] = []
+                for did, t in zip(ids, texts):
+                    hu = _doc_shingle_hashes(t, n)
+                    if hu is None:
+                        continue
+                    hv = hu % prime  # numpy % == pmod for negatives
+                    # chunk the shingle axis: the full (n_shingles × P)
+                    # product on a 100k-shingle page at P=256 would be a
+                    # ~200 MB transient — the r2 row-memory hazard in
+                    # kernel form. 8k-chunks cap it at 16 MB.
+                    sig = np.full(len(a_vec), _MH_PRIME, dtype=np.int64)
+                    for lo in range(0, len(hv), 8192):
+                        blk = hv[lo:lo + 8192, None]
+                        np.minimum(
+                            sig,
+                            ((blk * a_vec[None, :] + b_vec[None, :])
+                             % prime).min(axis=0),
+                            out=sig,
+                        )
+                    sigs.append(sig)
+                    out_ids.append(did)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(out_ids, type=pa.int64()),
+                        pa.array(
+                            list(np.stack(sigs)) if sigs else [],
+                            type=pa.list_(pa.int64()),
+                        ),
+                    ],
+                    ["doc_id", "sig"],
+                )
+
+        return src.mapInArrow(gen, "doc_id long, sig array<long>")
 
     sh = hashed_shingles(docs, n, id_col, text_col)
     hval = F.pmod(F.col("h"), F.lit(_MH_PRIME))
@@ -280,6 +366,7 @@ def minhash_lsh_pairs(
     verify: bool = True,
     verify_hashed: bool = True,
     verify_mode: str = "pairs",
+    sig_method: str = "auto",
 ) -> DataFrame:
     """Banded-LSH candidate pairs, optionally verified with exact Jaccard.
 
@@ -309,7 +396,9 @@ def minhash_lsh_pairs(
     # persist: the banded self-join references the signature subtree on
     # both sides — unpersisted, the full shingle+aggregate pipeline runs
     # twice
-    sigs = minhash_signatures(docs, num_perm, n, id_col, text_col).persist()
+    sigs = minhash_signatures(
+        docs, num_perm, n, id_col, text_col, method=sig_method
+    ).persist()
     if rows_per_band == 1:
         # high-recall regime: each band is a single minhash — the bucket
         # IS the value, so one posexplode replaces `bands` slice+hash
@@ -397,20 +486,31 @@ def jaccard_for_pairs(
     -size (the string shingle transform is O(len²) per doc); Jaccard over
     hashed shingle sets equals string-shingle Jaccard up to 64-bit hash
     collisions."""
-    if hashed:
-        sh = hashed_shingles(docs, n, id_col, text_col).withColumnRenamed(
-            "h", "shingle"
-        )
-    else:
-        sh = shingles(docs, n, id_col, text_col)
     ids = (
         pairs.select(F.col("id_a").alias("doc_id"))
         .union(pairs.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
+    # Restrict to candidate DOCUMENTS before shingling: mapInArrow is a
+    # pushdown barrier, so without this semi-join the hashed kernel
+    # re-scans every byte of the corpus to verify a candidate set that
+    # production regimes keep ≪ corpus (the string path equally avoids
+    # exploding non-candidate docs). Candidate ids also shrink the scan
+    # via the join's runtime filter on the parquet side.
+    docs_c = docs.join(
+        ids.withColumnRenamed("doc_id", "__cand_id"),
+        F.col(id_col) == F.col("__cand_id"),
+        "semi",
+    )
+    if hashed:
+        sh = hashed_shingles(docs_c, n, id_col, text_col).withColumnRenamed(
+            "h", "shingle"
+        )
+    else:
+        sh = shingles(docs_c, n, id_col, text_col)
     # candidate-restricted shingles feed the sizes aggregate and both join
     # strategies — released by _materialized below
-    sh_c = sh.join(ids, "doc_id").persist()
+    sh_c = sh.persist()
     sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     if mode == "index":
         a = sh_c.select(F.col("doc_id").alias("id_a"), "shingle")

@@ -181,26 +181,62 @@ def hub_degree_threshold(deg: DataFrame, deg_ratio: float) -> int | None:
 
 
 def _bfs_levels(
-    edges: DataFrame, root: int, max_levels: int
+    edges: DataFrame,
+    root: int,
+    max_levels: int,
+    n: int | None = None,
+    broadcast_state: bool | None = None,
 ) -> tuple[DataFrame, list[DataFrame]]:
-    """Level-synchronous BFS from ``root`` over out-edges: one join +
-    anti-join per level, lineage truncated per round. Returns the
-    (v, level) frame plus the live localCheckpoint handles the caller must
-    unpersist once a downstream result is materialized."""
+    """Level-synchronous BFS from ``root`` over out-edges, lineage
+    truncated per round. Returns the (v, level) frame plus the live
+    localCheckpoint handles the caller must unpersist once a downstream
+    result is materialized.
+
+    Join strategy per level — the same stationary-graph/ship-state
+    switch as the CC/LPA/PageRank rounds (operators/iterative.py):
+
+    - BROADCAST (default while the VERTEX set fits the state cutover,
+      ``n`` ≤ BROADCAST_STATE_MAX_VERTICES): the edge frame is cached
+      ONCE and each level broadcast-joins the frontier into it and
+      broadcast-anti-joins the visited set — the 100-TB edge object is
+      never exchanged per round; only the candidate frontier (bounded by
+      one level's reach) shuffles for its distinct.
+    - SHUFFLE (above the cutover, or forced): the original
+      frontier⨝edges hash join — each level exchanges the frontier AND
+      the edge frame; correct at any state size, the fallback shape."""
+    from graphsetintersection_spark.operators.iterative import (
+        BROADCAST_STATE_MAX_VERTICES,
+    )
+
     spark = edges.sparkSession
+    if broadcast_state is None:
+        broadcast_state = n is not None and n <= BROADCAST_STATE_MAX_VERTICES
     levels = spark.createDataFrame([(root, 0)], "v long, level int")
     frontier = levels
+    ej = edges.select("src", "dst")
+    if broadcast_state:
+        ej = ej.persist()
     prev_levels: DataFrame | None = None
     prev_frontier: DataFrame | None = None
     for lvl in range(1, max_levels + 1):
-        nxt = (
-            frontier.join(edges.withColumnRenamed("src", "v"), "v")
-            .select(F.col("dst").alias("v"))
-            .distinct()
-            .join(levels, "v", "left_anti")
-            .withColumn("level", F.lit(lvl))
-            .localCheckpoint(eager=True)
-        )
+        if broadcast_state:
+            nxt = (
+                ej.join(
+                    F.broadcast(frontier.select(F.col("v").alias("src"))),
+                    "src",
+                )
+                .select(F.col("dst").alias("v"))
+                .distinct()
+                .join(F.broadcast(levels.select("v")), "v", "left_anti")
+            )
+        else:
+            nxt = (
+                frontier.join(ej.withColumnRenamed("src", "v"), "v")
+                .select(F.col("dst").alias("v"))
+                .distinct()
+                .join(levels, "v", "left_anti")
+            )
+        nxt = nxt.withColumn("level", F.lit(lvl)).localCheckpoint(eager=True)
         if nxt.isEmpty():
             nxt.unpersist()
             break
@@ -212,6 +248,8 @@ def _bfs_levels(
             prev_frontier.unpersist()
         prev_levels, prev_frontier = levels, nxt
         frontier = nxt
+    if broadcast_state:
+        ej.unpersist()
     live = [f for f in (prev_levels, prev_frontier) if f is not None]
     return levels, live
 
@@ -233,7 +271,7 @@ def _level_order(
         deg.unpersist()
         return None
     root = int(root_row["v"])
-    levels, live = _bfs_levels(edges, root, max_levels)
+    levels, live = _bfs_levels(edges, root, max_levels, n=deg.count())
     ranked = deg.join(levels, "v", "left").select(
         "v",
         F.coalesce("level", F.lit(max_levels + 1)).alias("level"),
@@ -337,7 +375,7 @@ def hybrid_bfsdeg_order(edges: DataFrame, max_levels: int = 64) -> DataFrame:
         deg.unpersist()
         return spark.createDataFrame([], "org_id long, new_id long")
     root = int(root_row["v"])
-    levels, live = _bfs_levels(edges, root, max_levels)
+    levels, live = _bfs_levels(edges, root, max_levels, n=deg.count())
     ranked = deg.join(levels, "v", "left").select(
         "v",
         F.coalesce("level", F.lit(max_levels + 1)).alias("level"),

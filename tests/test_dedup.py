@@ -177,7 +177,7 @@ def test_signature_builds_are_map_side_combinable(spark):
         [(1, long_text), (2, long_text + " tail")], "doc_id long, text string"
     )
 
-    mh = minhash_signatures(df, num_perm=64, n=5)
+    mh = minhash_signatures(df, num_perm=64, n=5, method="agg")
     mh_plan = mh._jdf.queryExecution().executedPlan().toString()
     assert "partial_min" in mh_plan and "collect_list" not in mh_plan
     rows = {r["doc_id"]: r["sig"] for r in mh.collect()}
@@ -185,6 +185,12 @@ def test_signature_builds_are_map_side_combinable(spark):
     # near-identical docs share almost all minhash slots
     agree = sum(a == b for a, b in zip(rows[1], rows[2]))
     assert agree >= 48
+    # the fused Arrow kernel (the zero-shuffle "auto" default, including
+    # its 8k-chunked running-min path on this ≥200k-shingle doc) must
+    # produce BIT-IDENTICAL signatures to the relational agg form
+    mhk = minhash_signatures(df, num_perm=64, n=5, method="kernel")
+    rows_k = {r["doc_id"]: r["sig"] for r in mhk.collect()}
+    assert rows_k == rows
 
     sh = simhash_signatures(df)
     sh_plan = sh._jdf.queryExecution().executedPlan().toString()
