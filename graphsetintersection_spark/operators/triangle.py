@@ -198,37 +198,279 @@ _count_batches_bsr = _make_count_batches(batch_bsr_intersect_count)
 def triangle_count_kernel_with_stats(
     edges: DataFrame,
     hub_deg_ratio: float | None | str = "auto",
-    kernel: str = "bsr",
+    kernel: str = "auto",
+    strategy: str = "auto",
 ) -> tuple[int, dict]:
     """``triangle_count_kernel`` + the reference's profiling counters as
     Spark accumulators: returns (triangles, {"inter_cnt": .., "cmp_cnt":
     ..}) — the engine analog of tc's per-run print (src/tc.cpp:46;
     counters maintained at src/set_operation.cpp:903-905). inter_cnt =
     adjacency-pair intersections executed (one per oriented edge);
-    cmp_cnt = list elements scanned by the batch kernels."""
+    cmp_cnt = list elements scanned by the batch kernels (words ANDed,
+    for the bitset kernel)."""
+    sc = edges.sparkSession.sparkContext
+    acc_i, acc_c = sc.accumulator(0), sc.accumulator(0)
+    tri = _kernel_count(
+        edges, hub_deg_ratio, kernel, strategy, acc_inter=acc_i, acc_cmp=acc_c
+    )
+    return tri, {"inter_cnt": int(acc_i.value), "cmp_cnt": int(acc_c.value)}
+
+
+# The broadcast-CSR strategy collects the smaller-id adjacency to the
+# driver and ships it once per executor; above this many total adjacency
+# entries (= oriented edges; 16M ≈ 128 MB of int64) the join strategy
+# takes over. Mirrors pagerank's BROADCAST_STATE cutover.
+BROADCAST_ADJ_MAX_ENTRIES = 16_000_000
+
+
+def _collect_csr(adj: DataFrame):
+    """Driver-side CSR of the (v, nbrs) adjacency: (vs_sorted, indptr,
+    flat_vals) numpy arrays, vertices sorted so batch lookups are one
+    ``searchsorted``. Callers guard size via BROADCAST_ADJ_MAX_ENTRIES."""
+    import numpy as np
+
+    rows = adj.select("v", "nbrs").collect()
+    rows.sort(key=lambda r: r["v"])
+    vs = np.fromiter((r["v"] for r in rows), dtype=np.int64, count=len(rows))
+    lens = np.fromiter(
+        (len(r["nbrs"]) for r in rows), dtype=np.int64, count=len(rows)
+    )
+    indptr = np.zeros(len(rows) + 1, dtype=np.int64)
+    np.cumsum(lens, out=indptr[1:])
+    flat = (
+        np.concatenate([np.asarray(r["nbrs"], dtype=np.int64) for r in rows])
+        if rows
+        else np.empty(0, dtype=np.int64)
+    )
+    return vs, indptr, flat
+
+
+def _csr_gather(vs, indptr, flat, keys):
+    """Ragged gather: for each key, that vertex's CSR slice (missing
+    vertices → empty). Returns (values, lens) in key order — the batch
+    kernels' contract."""
+    import numpy as np
+
+    if len(vs) == 0:
+        return np.empty(0, dtype=np.int64), np.zeros(len(keys), dtype=np.int64)
+    pos = np.searchsorted(vs, keys)
+    pos[pos == len(vs)] = len(vs) - 1
+    hit = vs[pos] == keys
+    starts = np.where(hit, indptr[pos], 0)
+    lens = np.where(hit, indptr[pos + 1] - indptr[pos], 0)
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64), lens
+    shift = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=shift[1:])
+    out_idx = np.repeat(starts - shift, lens) + np.arange(total, dtype=np.int64)
+    return flat[out_idx], lens
+
+
+# Dense-regime bit-matrix kernel bounds: the n×⌈n/64⌉ uint64 adjacency
+# matrix must stay broadcastable (n²/8 bytes ≤ this), and it must beat the
+# element-wise kernels on work (W words ANDed per edge vs ~|A|+|B| sorted
+# elements scanned) — see _pick_broadcast_kernel.
+BITSET_MAX_BYTES = 256 * 1024 * 1024
+
+
+def _build_bitset(vs, indptr, flat):
+    """Dense n×W uint64 lower-adjacency bit matrix from the CSR arrays.
+    Row v's set bits are exactly the smaller-id neighbors of v."""
+    import numpy as np
+
+    n = int(vs[-1]) + 1 if len(vs) else 0
+    W = max((n + 63) // 64, 1)
+    M = np.zeros((n, W), dtype=np.uint64)
+    if len(flat):
+        rows = np.repeat(vs, np.diff(indptr))
+        bits = np.uint64(1) << (flat & np.int64(63)).astype(np.uint64)
+        # bitwise_or.at, NOT |= with fancy indexing: duplicate (row, word)
+        # pairs must all land
+        np.bitwise_or.at(M, (rows, flat >> 6), bits)
+    return M
+
+
+def _make_bitset_count_batches(bc, acc_inter=None, acc_cmp=None):
+    """mapInArrow kernel over the bare oriented edge frame with a
+    broadcast bit-matrix: per edge, popcount(M[u] & M[v]) — the dense
+    analog of the reference's bitset path (the BSR states with one global
+    base space). cmp_cnt counts words ANDed (2·rows·W), the dense
+    equivalent of elements scanned."""
+
+    def count_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+
+        from graphsetintersection_spark.kernels import _popcount
+
+        M = bc.value
+        W = M.shape[1]
+        for batch in it:
+            src = batch.column(batch.schema.get_field_index("src")).to_numpy(
+                zero_copy_only=False
+            )
+            dst = batch.column(batch.schema.get_field_index("dst")).to_numpy(
+                zero_copy_only=False
+            )
+            anded = M[src] & M[dst]
+            total = int(_popcount(anded.reshape(-1)).sum())
+            if acc_inter is not None:
+                acc_inter.add(int(batch.num_rows))
+            if acc_cmp is not None:
+                acc_cmp.add(2 * int(batch.num_rows) * W)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([total], type=pa.int64())], ["tri"]
+            )
+
+    return count_batches
+
+
+def _pick_broadcast_kernel(kernel: str, vs, indptr, entries: int) -> str:
+    """Resolve kernel="auto" on the broadcast path: the bit matrix wins
+    when it fits the broadcast budget AND an edge's W-word AND is cheaper
+    than scanning its two sorted lists (W ≤ 8·mean lower-degree — the
+    element kernels cost ~10 ops per element vs 1 AND+popcount per word).
+    Sparse or huge-id graphs resolve to "bsr"."""
+    if kernel != "auto":
+        return kernel
+    if len(vs) == 0 or vs[0] < 0:
+        return "bsr"
+    n = int(vs[-1]) + 1
+    W = (n + 63) // 64
+    if n * W * 8 > BITSET_MAX_BYTES:
+        return "bsr"
+    if entries and W > 8 * (entries / len(vs)):
+        return "bsr"
+    return "bitset"
+
+
+def _make_broadcast_count_batches(bc, kernel_fn, acc_inter=None, acc_cmp=None):
+    """mapInArrow kernel over the bare oriented EDGE frame (src, dst):
+    per batch, gather both endpoints' adjacency from the broadcast CSR and
+    run the same vectorized intersect-count. Nothing but two int64 columns
+    ever moves through the plan — the reference's in-memory-CSR regime
+    (src/bitpack_triangle_count.cpp:18-68 builds the index once; the count
+    loop reads it in place), re-expressed as broadcast + Arrow batches."""
+
+    def count_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        vs, indptr, flat = bc.value
+        for batch in it:
+            src = batch.column(batch.schema.get_field_index("src")).to_numpy(
+                zero_copy_only=False
+            )
+            dst = batch.column(batch.schema.get_field_index("dst")).to_numpy(
+                zero_copy_only=False
+            )
+            va, la = _csr_gather(vs, indptr, flat, src)
+            vb, lb = _csr_gather(vs, indptr, flat, dst)
+            counts = kernel_fn(va, la, vb, lb)
+            if acc_inter is not None:
+                acc_inter.add(int(batch.num_rows))
+            if acc_cmp is not None:
+                acc_cmp.add(int(len(va) + len(vb)))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(counts.sum(keepdims=True), type=pa.int64())], ["tri"]
+            )
+
+    return count_batches
+
+
+def _kernel_count(
+    edges: DataFrame,
+    hub_deg_ratio: float | None | str,
+    kernel: str,
+    strategy: str,
+    acc_inter=None,
+    acc_cmp=None,
+) -> int:
+    """Shared planner for the kernel triangle counts. ONE probe aggregate
+    over the persisted adjacency decides both the strategy and (on the
+    join path) the hub split, so the adjacency groupBy executes exactly
+    once per count regardless of route:
+
+    - ``broadcast`` (auto default while total adjacency entries ≤
+      BROADCAST_ADJ_MAX_ENTRIES): collect CSR, broadcast, stream the bare
+      (src, dst) edge list through a batch kernel — zero join, zero
+      neighbor-list duplication. The reference's in-memory regime. With
+      kernel="auto" this further resolves to the dense bit-matrix kernel
+      when the id space is compact (_pick_broadcast_kernel).
+    - ``join`` (auto above the bound — the 100 TB shape): per-edge
+      adjacency equi-joins with the broadcast-hub split for Zipf skew;
+      neighbor lists ship once per incident edge, which is the price of
+      not fitting in memory.
+    """
     from graphsetintersection_spark.kernels import (
         batch_bsr_intersect_count as _bsr,
         batch_intersect_count as _uint,
     )
 
-    sc = edges.sparkSession.sparkContext
-    acc_i, acc_c = sc.accumulator(0), sc.accumulator(0)
-    base = {"uint": _uint, "bsr": _bsr}[kernel]
-    fn = _make_count_batches(base, acc_inter=acc_i, acc_cmp=acc_c)
-    joined, persisted = _edge_with_lower_adj(edges, hub_deg_ratio)
+    if strategy not in ("auto", "join", "broadcast"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if kernel not in ("auto", "bsr", "uint", "bitset"):
+        raise ValueError(f"unknown kernel {kernel!r}")
+    if kernel == "bitset" and strategy == "join":
+        raise ValueError(
+            "kernel='bitset' requires the broadcast strategy (the bit "
+            "matrix is a broadcast object)"
+        )
+    e = orient(edges).select("src", "dst")
+    adj = lower_adjacency(e).persist()
+    probe = adj.agg(
+        F.sum(F.size("nbrs")).alias("entries"),
+        F.max(F.size("nbrs")).alias("mx"),
+        F.avg(F.size("nbrs")).alias("av"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    entries = int(probe["entries"] or 0)
+    use_bcast = strategy == "broadcast" or (
+        strategy == "auto" and entries <= BROADCAST_ADJ_MAX_ENTRIES
+    )
+    if not use_bcast and kernel == "bitset":
+        adj.unpersist()
+        raise ValueError(
+            "kernel='bitset' needs the broadcast strategy, but the "
+            f"adjacency ({entries} entries) exceeds the broadcast bound"
+        )
+    if use_bcast:
+        sc = edges.sparkSession.sparkContext
+        vs, indptr, flat = _collect_csr(adj)
+        adj.unpersist()
+        k = _pick_broadcast_kernel(kernel, vs, indptr, entries)
+        if k == "bitset":
+            bc = sc.broadcast(_build_bitset(vs, indptr, flat))
+            fn = _make_bitset_count_batches(bc, acc_inter, acc_cmp)
+        else:
+            bc = sc.broadcast((vs, indptr, flat))
+            kernel_fn = {"bsr": _bsr, "uint": _uint}[k]
+            fn = _make_broadcast_count_batches(
+                bc, kernel_fn, acc_inter, acc_cmp
+            )
+        partials = e.mapInArrow(fn, "tri long")
+        row = partials.agg(F.sum("tri").alias("tri")).collect()[0]
+        bc.unpersist()
+        return int(row["tri"] or 0)
+    if hub_deg_ratio == "auto":
+        hub_deg_ratio = None
+        if entries >= AUTO_HUB_MIN_EDGES and probe["mx"] >= 1024 and probe[
+            "mx"
+        ] >= 16 * (probe["av"] or 1.0):
+            hub_deg_ratio = AUTO_HUB_RATIO
+    j1 = _join_adj(e, adj, "src", "nbrs_a", hub_deg_ratio)
+    j2 = _join_adj(j1, adj, "dst", "nbrs_b", hub_deg_ratio)
+    joined = j2.select("src", "dst", "nbrs_a", "nbrs_b")
+    kernel_fn = {"bsr": _bsr, "auto": _bsr, "uint": _uint}[kernel]
+    fn = _make_count_batches(kernel_fn, acc_inter, acc_cmp)
     partials = joined.mapInArrow(fn, "tri long")
     row = partials.agg(F.sum("tri").alias("tri")).collect()[0]
-    if persisted is not None:
-        persisted.unpersist()
-    return int(row["tri"] or 0), {
-        "inter_cnt": int(acc_i.value), "cmp_cnt": int(acc_c.value)
-    }
+    adj.unpersist()
+    return int(row["tri"] or 0)
 
 
 def triangle_count_kernel(
     edges: DataFrame,
     hub_deg_ratio: float | None | str = "auto",
-    kernel: str = "bsr",
+    kernel: str = "auto",
+    strategy: str = "auto",
 ) -> int:
     """Adjacency + vectorized numpy batch kernel via mapInArrow.
 
@@ -240,23 +482,30 @@ def triangle_count_kernel(
     — measured 0.84 scaling efficiency 4→16 pinned cores on a 59M-edge
     corpus (BENCH/BASELINE.md).
 
-    ``hub_deg_ratio`` (e.g. 0.3) turns on the broadcast-hub-adjacency
-    split for Zipf-skewed graphs; the default "auto" enables it only
-    when the degree distribution is actually skewed.
+    ``strategy``: "broadcast" ships the whole adjacency as a CSR
+    broadcast and streams the bare (src, dst) list through the kernel —
+    no join, no per-edge neighbor-list duplication; the right regime
+    while the adjacency fits executor memory (dense/relabeled graphs —
+    measured 8.0s → 1.4s on the 26%-dense 2k-vertex/557k-edge sf0.1 lgraph).
+    "join" is the shuffle shape that holds at any scale. "auto"
+    (default) picks by adjacency size (BROADCAST_ADJ_MAX_ENTRIES).
 
-    ``kernel``: "bsr" (bit-packed base/state AND+popcount — the
-    reference's BP path, src/bitpack_triangle_count.cpp:43-103; default —
-    it measured faster at every corpus/ordering tried, and a degree
-    relabel densifies it further, see relabel.comp_ratio) or "uint"
-    (element-wise searchsorted — the Org-path parity twin, kept for
-    differential testing and for extremely sparse id spaces)."""
-    fn = {"uint": _count_batches, "bsr": _count_batches_bsr}[kernel]
-    joined, persisted = _edge_with_lower_adj(edges, hub_deg_ratio)
-    partials = joined.mapInArrow(fn, "tri long")
-    row = partials.agg(F.sum("tri").alias("tri")).collect()[0]
-    if persisted is not None:
-        persisted.unpersist()
-    return int(row["tri"] or 0)
+    ``hub_deg_ratio`` (e.g. 0.3) turns on the broadcast-hub-adjacency
+    split for Zipf-skewed graphs on the join path; the default "auto"
+    enables it only when the degree distribution is actually skewed.
+
+    ``kernel``: "auto" (default) resolves to "bitset" on the broadcast
+    strategy when the id space is compact enough for the n×⌈n/64⌉ bit
+    matrix and the graph is dense enough that a W-word AND beats scanning
+    the two sorted lists (measured 23× vs "uint" on the 26%-dense sf0.1
+    lgraph), else "bsr". Explicit options: "bsr" (bit-packed base/state
+    AND+popcount — the reference's BP path,
+    src/bitpack_triangle_count.cpp:43-103; densified further by a degree
+    relabel, see relabel.comp_ratio), "uint" (element-wise searchsorted —
+    the Org-path parity twin, kept for differential testing and for
+    extremely sparse id spaces), "bitset" (dense bit matrix; broadcast
+    strategy only)."""
+    return _kernel_count(edges, hub_deg_ratio, kernel, strategy)
 
 
 def triangles_per_edge(edges: DataFrame) -> DataFrame:

@@ -133,7 +133,74 @@ def test_kernel_counters_match_known_workload(spark, tiny_graph):
     expect_cmp = sum(len(lower[a]) + len(lower[b]) for a, b in worked)
 
     for kernel in ("uint", "bsr"):
-        tri, stats = triangle_count_kernel_with_stats(df, kernel=kernel)
+        tri, stats = triangle_count_kernel_with_stats(
+            df, kernel=kernel, strategy="join"
+        )
         assert tri == brute_triangles(pairs)
         assert stats["inter_cnt"] == expect_inter
         assert stats["cmp_cnt"] == expect_cmp
+
+    # broadcast strategy iterates EVERY oriented edge (the CSR gather has
+    # no inner-join drop), so inter_cnt counts all of them and cmp_cnt
+    # additionally scans |N⁻(dst)| for edges whose src has no smaller
+    # neighbor (the join path never materializes those pairs)
+    expect_cmp_bcast = sum(
+        len(lower[a]) + len(lower[b]) for a, b in oriented
+    )
+    for kernel in ("uint", "bsr"):
+        tri, stats = triangle_count_kernel_with_stats(
+            df, kernel=kernel, strategy="broadcast"
+        )
+        assert tri == brute_triangles(pairs)
+        assert stats["inter_cnt"] == len(oriented)
+        assert stats["cmp_cnt"] == expect_cmp_bcast
+
+
+def test_triangle_broadcast_and_bitset_parity(spark):
+    """The broadcast-CSR and dense bit-matrix strategies must equal the
+    join strategy and the brute-force count on a random graph, for every
+    kernel; kernel='auto' resolves to the bit matrix on this dense compact
+    id space and to 'bsr' on the join path."""
+    import pytest
+
+    pairs = random_graph(250, 2500, seed=11)
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    expected = brute_triangles(pairs)
+    assert expected > 0
+    for strategy in ("broadcast", "join", "auto"):
+        kernels = ("auto", "bsr", "uint")
+        if strategy != "join":
+            kernels += ("bitset",)
+        for kernel in kernels:
+            got = triangle_count_kernel(df, kernel=kernel, strategy=strategy)
+            assert got == expected, (strategy, kernel)
+    with pytest.raises(ValueError):
+        triangle_count_kernel(df, kernel="bitset", strategy="join")
+    # nothing left cached by any route
+    sc = spark.sparkContext
+    assert sc._jsc.sc().getPersistentRDDs().size() == 0
+
+
+def test_pick_broadcast_kernel_bounds():
+    """kernel='auto' routing: dense compact ids → bitset; sparse or huge
+    id spaces → bsr (matrix infeasible or per-edge AND loses)."""
+    import numpy as np
+
+    from graphsetintersection_spark.operators.triangle import (
+        BITSET_MAX_BYTES,
+        _pick_broadcast_kernel,
+    )
+
+    dense_vs = np.arange(1, 1000, dtype=np.int64)
+    indptr = np.zeros(1000, dtype=np.int64)  # unused by the heuristic
+    # ~26%-dense graph: mean lower-degree 130 vs W=16 words → bitset
+    assert _pick_broadcast_kernel("auto", dense_vs, indptr, 130_000) == "bitset"
+    # avg lower-degree ~1 on the same id space: W=16 > 8·1 → bsr
+    assert _pick_broadcast_kernel("auto", dense_vs, indptr, 1_000) == "bsr"
+    # id space so large the matrix exceeds the broadcast budget → bsr
+    huge = np.array([0, 10_000_000], dtype=np.int64)
+    n = 10_000_001
+    assert n * ((n + 63) // 64) * 8 > BITSET_MAX_BYTES
+    assert _pick_broadcast_kernel("auto", huge, indptr, 10**9) == "bsr"
+    # explicit kernels pass through untouched
+    assert _pick_broadcast_kernel("uint", dense_vs, indptr, 130_000) == "uint"
