@@ -285,6 +285,33 @@ def _q_minhash_lsh(spark, sf_dir):
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+STREAM_DEDUP_SPLIT = 200   # doc_id < split = "historical", rest = "incoming"
+
+
+def _q_stream_neardup(spark, sf_dir):
+    """Incremental near-dup dedup (streaming/dedup.py) via its batch twin
+    — the same stream/batch-agnostic plan Structured Streaming runs per
+    micro-batch (streaming parity is pytest-pinned; a DuckDB gate cannot
+    execute a stream). High-recall regime (bands=num_perm=256: candidate
+    iff ANY slot agrees, miss prob (1-j)^256) + exact string-shingle
+    verify, so the output provably equals the exact cross-set Jaccard
+    pair set and the brute-force SQL oracle applies verbatim."""
+    from graphsetintersection_spark.streaming.dedup import (
+        batch_minhash_neardup,
+        minhash_band_index,
+    )
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < NGRAM_DOCS)
+    historical = docs.where(F.col("doc_id") < STREAM_DEDUP_SPLIT)
+    incoming = docs.where(F.col("doc_id") >= STREAM_DEDUP_SPLIT)
+    index = minhash_band_index(historical, num_perm=256, bands=256)
+    return batch_minhash_neardup(
+        incoming, index, num_perm=256, bands=256,
+        threshold=NGRAM_THRESHOLD, exact_verify_docs=docs,
+        verify_hashed=False,
+    ).select("doc_id", "dup_of", F.round("jaccard", 6).alias("jaccard"))
+
+
 def _q_simhash(spark, sf_dir):
     """SimHash near-dup pipeline (block-rotation candidates → exact
     Jaccard verify). max_hamming=7 is comfortably above the corpus's
@@ -442,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_first": _q_dedup_keep_first,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_lsh_dedup": _q_minhash_lsh,
+        "stream_neardup": _q_stream_neardup,
         "simhash_dedup": _q_simhash,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh,
@@ -617,6 +645,37 @@ where i / (sa.n_sh + sb.n_sh - i) >= {threshold}
 """
 
 
+def _cross_set_jaccard_oracle_sql() -> str:
+    """Exact oracle for stream_neardup: brute-force 5-gram Jaccard of
+    every (incoming, historical) pair — the high-recall gate regime's
+    provably-equal set (see _q_stream_neardup)."""
+    return f"""
+with docs as materialized (
+  select doc_id, text from documents where doc_id < {NGRAM_DOCS}
+),
+sh as materialized (
+  select distinct doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(length(text) - 4, 0)),
+           i -> substr(text, i, 5))) as shingle
+  from docs
+),
+sizes as materialized (select doc_id, count(*) as n_sh from sh group by doc_id),
+inter as materialized (
+  select a.doc_id as doc_id, b.doc_id as dup_of, count(*) as i
+  from sh a join sh b using (shingle)
+  where a.doc_id >= {STREAM_DEDUP_SPLIT} and b.doc_id < {STREAM_DEDUP_SPLIT}
+  group by a.doc_id, b.doc_id
+)
+select inter.doc_id as doc_id, inter.dup_of as dup_of,
+       round(i / (sa.n_sh + sb.n_sh - i), 6) as jaccard
+from inter
+join sizes sa on sa.doc_id = inter.doc_id
+join sizes sb on sb.doc_id = inter.dup_of
+where i / (sa.n_sh + sb.n_sh - i) >= {NGRAM_THRESHOLD}
+"""
+
+
 def _ann_oracle_sql() -> str:
     return f"""
 with q as materialized (
@@ -776,6 +835,7 @@ def oracle_sql() -> dict[str, str]:
         # brute-force oracles apply; the approximate production regimes
         # are pytest recall/precision-covered.
         "minhash_lsh_dedup": _ngram_jaccard_oracle_sql(),
+        "stream_neardup": _cross_set_jaccard_oracle_sql(),
         "simhash_dedup": _ngram_jaccard_oracle_sql(
             max_doc=None, threshold=SIMHASH_THRESHOLD
         ),

@@ -271,6 +271,29 @@ def main() -> None:
         "ann_ivf_prod",
         lambda: ivf_ann_topk(qv, vecs, k=5, n_cells=16, n_probe=4).collect(),
     )
+    # incremental (stream-static) dedup, production estimate regime: the
+    # batch twin of streaming/dedup.stream_minhash_neardup — index build
+    # + band join + zip_with estimate, halved corpus vs the other half
+    from graphsetintersection_spark.streaming.dedup import (
+        batch_minhash_neardup,
+        minhash_band_index,
+    )
+
+    half = docs_full.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+
+    def _stream_neardup_prod():
+        idx = minhash_band_index(
+            docs_full.where(F.col("doc_id") <= half), num_perm=128, bands=32
+        ).persist()
+        try:
+            batch_minhash_neardup(
+                docs_full.where(F.col("doc_id") > half), idx,
+                num_perm=128, bands=32, threshold=0.5,
+            ).collect()
+        finally:
+            idx.unpersist()
+
+    timed("stream_neardup_prod", _stream_neardup_prod)
 
     # The headline `value` is the CORE suite — the exact key set rounds
     # 1-3 summed — so round-over-round comparisons stay like-for-like.

@@ -355,6 +355,51 @@ def minhash_signatures(
     )
 
 
+def banded_rows(
+    sigs: DataFrame,
+    num_perm: int,
+    bands: int,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """(doc_id, band, bucket[, *carry]) LSH band rows from a (doc_id, sig)
+    frame — THE banding definition: batch self-join dedup and the
+    streaming incremental dedup both call this, so a stream's buckets
+    collide with a batch-built index bit-for-bit.
+
+    With rows_per_band == 1 (the high-recall oracle regime) each band is
+    a single minhash and one posexplode replaces ``bands`` slice+hash
+    struct expressions (whose generated code dominates wall time at
+    bands ≥ 256); otherwise bucket = xxhash64 of the band's signature
+    slice. ``carry`` keeps extra columns (e.g. the signature itself, for
+    a downstream estimated-Jaccard check) on every band row."""
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    keep = [F.col(c) for c in ("doc_id", *carry)]
+    if rows_per_band == 1:
+        return sigs.select(
+            *keep, F.posexplode("sig").alias("band", "bucket")
+        ).select("doc_id", "band", "bucket", *carry)
+    return (
+        sigs.select(
+            *keep,
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.slice(
+                                F.col("sig"), bi * rows_per_band + 1, rows_per_band
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ])
+            ).alias("bb"),
+        )
+        .select("doc_id", "bb.band", "bb.bucket", *carry)
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     num_perm: int = 64,
@@ -392,38 +437,13 @@ def minhash_lsh_pairs(
     to get an exact SQL oracle; production dedup runs rows_per_band 4-8
     where candidates stay sparse."""
     assert num_perm % bands == 0
-    rows_per_band = num_perm // bands
     # persist: the banded self-join references the signature subtree on
     # both sides — unpersisted, the full shingle+aggregate pipeline runs
     # twice
     sigs = minhash_signatures(
         docs, num_perm, n, id_col, text_col, method=sig_method
     ).persist()
-    if rows_per_band == 1:
-        # high-recall regime: each band is a single minhash — the bucket
-        # IS the value, so one posexplode replaces `bands` slice+hash
-        # struct expressions (whose generated code dominates wall time at
-        # bands ≥ 256)
-        banded = sigs.select(
-            "doc_id", F.posexplode("sig").alias("band", "bucket")
-        )
-    else:
-        banded = sigs.select(
-            "doc_id",
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            F.slice(
-                                F.col("sig"), bi * rows_per_band + 1, rows_per_band
-                            )
-                        ).alias("bucket"),
-                    )
-                    for bi in range(bands)
-                ])
-            ).alias("bb"),
-        ).select("doc_id", "bb.band", "bb.bucket")
+    banded = banded_rows(sigs, num_perm, bands)
     a = banded.select(F.col("doc_id").alias("id_a"), "band", "bucket")
     b = banded.select(F.col("doc_id").alias("id_b"), "band", "bucket")
     cand = (
