@@ -644,6 +644,272 @@ def bfsr_order(
     return spark.createDataFrame(out, "org_id long, new_id long")
 
 
+def _bisect_member_pairs(members, indptr, nbr):
+    """(q, mpos) pair arrays: each member's LOCAL position (its index
+    in ``members``) repeated per its neighbor q — the CSR slices of
+    all members gathered in one fancy-index pass. Local positions
+    keep every downstream array sized by the PART, not the graph
+    (ADVICE r4 #2: per-part np.zeros(n)/minlength=n made deep
+    recursion O(max_iters · n²/min_part) — infeasible at the 2M
+    driver cap; with part-local arrays a whole recursion LEVEL is
+    O(E + n), so the total is O(max_iters · (E + n) · log n))."""
+    import numpy as np
+
+    cnt = indptr[members + 1] - indptr[members]
+    total = int(cnt.sum())
+    if total == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    mpos = np.repeat(np.arange(len(members), dtype=np.int64), cnt)
+    slice_start = np.cumsum(cnt) - cnt  # first global pos of each slice
+    offset = np.arange(total) - np.repeat(slice_start, cnt)
+    q = nbr[np.repeat(indptr[members], cnt) + offset]
+    return q, mpos
+
+
+def _loggap_cost(n1, q1, n2, q2):
+    import numpy as np
+
+    return q1 * np.log2(n1 / (q1 + 1.0)) + q2 * np.log2(n2 / (q2 + 1.0))
+
+
+def _bisect_static_gain(left, right, csr4):
+    """Gain vectors ALIGNED WITH left/right order (gl[i] is the gain
+    of vertex left[i]); neighbor counts are compressed onto the
+    touched-q domain via np.unique — no full-size-n scatter. ``csr4``
+    = (out_ptr, out_nbr, in_ptr, in_nbr); member arrays index the CSR
+    rows, neighbor VALUES may live in any integer domain (global ids
+    or local positions — only equality matters)."""
+    import numpy as np
+
+    out_ptr, out_nbr, in_ptr, in_nbr = csr4
+    ln, rn = len(left), len(right)
+    gl, gr = np.zeros(ln), np.zeros(rn)
+    for indptr, nbr in ((out_ptr, out_nbr), (in_ptr, in_nbr)):
+        ql, pl = _bisect_member_pairs(left, indptr, nbr)
+        qr, pr = _bisect_member_pairs(right, indptr, nbr)
+        uq, qinv = np.unique(
+            np.concatenate([ql, qr]), return_inverse=True
+        )
+        il, ir = qinv[: len(ql)], qinv[len(ql):]
+        cl = np.bincount(il, minlength=len(uq))
+        cr = np.bincount(ir, minlength=len(uq))
+        if len(ql):
+            dl, dr = cl[il], cr[il]
+            mc = _loggap_cost(ln, dl, rn, dr) - _loggap_cost(
+                ln, dl - 1, rn, dr + 1
+            )
+            gl += np.bincount(pl, weights=mc, minlength=ln)
+        if len(qr):
+            dl, dr = cl[ir], cr[ir]
+            mc = _loggap_cost(ln, dl, rn, dr) - _loggap_cost(
+                ln, dl + 1, rn, dr - 1
+            )
+            gr += np.bincount(pr, weights=mc, minlength=rn)
+    return gl, gr
+
+
+def _bisect_refine(left, right, csr4, max_iters, recompute_gains):
+    """One bisection's ≤``max_iters`` gain-sorted prefix-swap rounds
+    (reference :917-925) over a half split — THE shared kernel: the
+    driver-exact ``mloggapa_order`` recursion and the distributed
+    ``graph_bisection_order`` per-part tasks both call this, which is
+    what makes their outputs bit-identical (parity pytest). Returns the
+    refined (left, right) arrays."""
+    import numpy as np
+
+    gl, gr = _bisect_static_gain(left, right, csr4)
+    for _ in range(max_iters):
+        ol = np.argsort(-gl, kind="stable")
+        left, gl = left[ol], gl[ol]
+        orr = np.argsort(-gr, kind="stable")
+        right, gr = right[orr], gr[orr]
+        m = min(len(left), len(right))
+        pos = gl[:m] + gr[:m] > 0
+        k = int(m if pos.all() else np.argmin(pos))
+        if k == 0:
+            break
+        left[:k], right[:k] = right[:k].copy(), left[:k].copy()
+        if recompute_gains:
+            gl, gr = _bisect_static_gain(left, right, csr4)
+        else:
+            # static gains are per-VERTEX — values travel with the
+            # swapped vertices, exactly as the old gain[v] indexing did
+            gl[:k], gr[:k] = gr[:k].copy(), gl[:k].copy()
+    return left, right
+
+
+def graph_bisection_order(
+    edges: DataFrame,
+    min_part: int = 32,
+    max_iters: int = 20,
+    recompute_gains: bool = True,
+    max_task_vertices: int = 2_000_000,
+    max_levels: int = 48,
+) -> DataFrame:
+    """DISTRIBUTED minimum-log-gap recursive bisection (org_id, new_id) —
+    the scalable family member of ``mloggapa_order`` (same objective,
+    reference src/porder.cpp:634-686,794-930; same KDD'16 scheme).
+
+    Level-synchronous re-expression: the recursion tree's level L holds
+    2^L INDEPENDENT parts, so one ``groupBy(part).applyInPandas`` runs
+    every part's refinement concurrently — each task calls the SAME
+    ``_bisect_refine`` kernel as the driver version over a part-local
+    CSR, which makes the two operators' outputs BIT-IDENTICAL whenever
+    every part fits a task (parity pytest). State is one frame
+    (v, part, rank, out_nbrs, in_nbrs): the adjacency rides with the
+    assignment, so a level is exactly ONE hash-partition shuffle of
+    O(V + E) rows and zero joins; depth is ⌈log2(n/min_part)⌉ levels.
+
+    Parts larger than ``max_task_vertices`` (the top levels of a graph
+    that no single task should hold) split by a pure COLUMN-EXPRESSION
+    median cut of the current layout — no group ever materializes — and
+    gain refinement engages once parts fit. Documented approximation:
+    the reference refines every level, but its refinement of a
+    billion-vertex "part" is exactly what cannot exist on any single
+    machine; median-cutting the current layout preserves whatever
+    locality the initial order carries (the KDD'16 paper itself seeds
+    with a degree/BFS layout for the same reason, and callers can feed
+    ``apply_order``-relabeled edges in).
+
+    Initial layout = ascending vertex id (the driver version's
+    ``np.arange`` over sorted ids — feed relabeled ids to choose a
+    different seed layout)."""
+    import math
+
+    spark = edges.sparkSession
+    e = canonicalize(edges)
+    out_adj = e.groupBy(F.col("src").alias("v")).agg(
+        F.collect_list("dst").alias("out_nbrs")
+    )
+    in_adj = e.groupBy(F.col("dst").alias("v")).agg(
+        F.collect_list("src").alias("in_nbrs")
+    )
+    verts = e.select(F.col("src").alias("v")).union(
+        e.select(F.col("dst").alias("v"))
+    ).distinct()
+    base = (
+        verts.join(out_adj, "v", "left")
+        .join(in_adj, "v", "left")
+        .select(
+            "v",
+            F.coalesce("out_nbrs", F.array().cast("array<long>")).alias(
+                "out_nbrs"
+            ),
+            F.coalesce("in_nbrs", F.array().cast("array<long>")).alias(
+                "in_nbrs"
+            ),
+        )
+    )
+    state = global_order_stats(
+        base, [F.col("v").asc()], rank_col="rank"
+    ).select("v", F.lit(0).cast("long").alias("part"), "rank",
+             "out_nbrs", "in_nbrs")
+    n = state.count()
+    if n == 0:
+        return spark.createDataFrame([], "org_id long, new_id long")
+
+    schema = (
+        "v long, part long, rank long, "
+        "out_nbrs array<long>, in_nbrs array<long>"
+    )
+
+    def refine(pdf):
+        import numpy as np
+
+        m = len(pdf)
+        part = int(pdf["part"].iloc[0])
+        pdf = pdf.sort_values("rank").reset_index(drop=True)
+
+        def local_csr(lists):
+            lens = np.fromiter(
+                (len(x) for x in lists), dtype=np.int64, count=m
+            )
+            ptr = np.zeros(m + 1, dtype=np.int64)
+            np.cumsum(lens, out=ptr[1:])
+            vals = (
+                np.concatenate([np.asarray(x, dtype=np.int64) for x in lists])
+                if ptr[-1]
+                else np.empty(0, dtype=np.int64)
+            )
+            return ptr, vals
+
+        optr, onbr = local_csr(pdf["out_nbrs"])
+        iptr, inbr = local_csr(pdf["in_nbrs"])
+        mid = m // 2
+        pos = np.arange(m, dtype=np.int64)
+        left, right = _bisect_refine(
+            pos[:mid].copy(), pos[mid:].copy(),
+            (optr, onbr, iptr, inbr), max_iters, recompute_gains,
+        )
+        order = np.concatenate([left, right])
+        out = pdf.iloc[order].reset_index(drop=True)
+        out["part"] = np.concatenate([
+            np.full(len(left), part * 2, dtype=np.int64),
+            np.full(len(right), part * 2 + 1, dtype=np.int64),
+        ])
+        out["rank"] = np.concatenate([
+            np.arange(len(left), dtype=np.int64),
+            np.arange(len(right), dtype=np.int64),
+        ])
+        return out
+
+    prev = None
+    levels = min(max_levels, max(1, math.ceil(math.log2(max(n, 2))))) + 1
+    for _ in range(levels):
+        sizes = state.groupBy("part").agg(
+            F.count(F.lit(1)).alias("_psz")
+        )
+        mx = sizes.agg(F.max("_psz").alias("mx")).collect()[0]["mx"]
+        if mx is None or mx < min_part:
+            break
+        sized = state.join(F.broadcast(sizes), "part")
+        small = sized.where(F.col("_psz") < min_part).select(
+            "v", (F.col("part") * 2).alias("part"), "rank",
+            "out_nbrs", "in_nbrs",
+        )
+        fit = (
+            sized.where(
+                (F.col("_psz") >= min_part)
+                & (F.col("_psz") <= max_task_vertices)
+            )
+            .select("v", "part", "rank", "out_nbrs", "in_nbrs")
+            .groupBy("part")
+            .applyInPandas(refine, schema)
+        )
+        # oversize parts: pure-expression median cut of the current
+        # layout — no task materializes the part
+        over = sized.where(F.col("_psz") > max_task_vertices)
+        mid = (F.col("_psz") / 2).cast("long")
+        over = over.select(
+            "v",
+            F.when(F.col("rank") < mid, F.col("part") * 2)
+            .otherwise(F.col("part") * 2 + 1)
+            .alias("part"),
+            F.when(F.col("rank") < mid, F.col("rank"))
+            .otherwise(F.col("rank") - mid)
+            .alias("rank"),
+            "out_nbrs",
+            "in_nbrs",
+        )
+        nxt = small.unionByName(fit).unionByName(over).localCheckpoint(
+            eager=True
+        )
+        if prev is not None:
+            prev.unpersist()
+        prev = nxt
+        state = nxt
+    out = global_order_stats(
+        state.select("v", "part", "rank"),
+        [F.col("part").asc(), F.col("rank").asc()],
+        rank_col="new_id",
+        approx_rows=n,
+    ).select(F.col("v").alias("org_id"), "new_id")
+    if prev is not None:
+        prev.unpersist()
+    return out
+
+
 def mloggapa_order(
     edges: DataFrame,
     min_part: int = 32,
@@ -716,77 +982,16 @@ def mloggapa_order(
     out_ptr, out_nbr = csr(src_a, dst_a)   # u -> out-neighbors
     in_ptr, in_nbr = csr(dst_a, src_a)     # u -> in-neighbors
 
-    def member_pairs(members, indptr, nbr):
-        """(q, mpos) pair arrays: each member's LOCAL position (its index
-        in ``members``) repeated per its neighbor q — the CSR slices of
-        all members gathered in one fancy-index pass. Local positions
-        keep every downstream array sized by the PART, not the graph
-        (ADVICE r4 #2: per-part np.zeros(n)/minlength=n made deep
-        recursion O(max_iters · n²/min_part) — infeasible at the 2M
-        driver cap; with part-local arrays a whole recursion LEVEL is
-        O(E + n), so the total is O(max_iters · (E + n) · log n))."""
-        cnt = indptr[members + 1] - indptr[members]
-        total = int(cnt.sum())
-        if total == 0:
-            z = np.empty(0, dtype=np.int64)
-            return z, z
-        mpos = np.repeat(np.arange(len(members), dtype=np.int64), cnt)
-        slice_start = np.cumsum(cnt) - cnt  # first global pos of each slice
-        offset = np.arange(total) - np.repeat(slice_start, cnt)
-        q = nbr[np.repeat(indptr[members], cnt) + offset]
-        return q, mpos
-
-    def cost(n1, q1, n2, q2):
-        return q1 * np.log2(n1 / (q1 + 1.0)) + q2 * np.log2(n2 / (q2 + 1.0))
-
-    def static_gain(left, right):
-        """Gain vectors ALIGNED WITH left/right order (gl[i] is the gain
-        of vertex left[i]); neighbor counts are compressed onto the
-        touched-q domain via np.unique — no full-size-n scatter."""
-        ln, rn = len(left), len(right)
-        gl, gr = np.zeros(ln), np.zeros(rn)
-        for indptr, nbr in ((out_ptr, out_nbr), (in_ptr, in_nbr)):
-            ql, pl = member_pairs(left, indptr, nbr)
-            qr, pr = member_pairs(right, indptr, nbr)
-            uq, qinv = np.unique(
-                np.concatenate([ql, qr]), return_inverse=True
-            )
-            il, ir = qinv[: len(ql)], qinv[len(ql):]
-            cl = np.bincount(il, minlength=len(uq))
-            cr = np.bincount(ir, minlength=len(uq))
-            if len(ql):
-                dl, dr = cl[il], cr[il]
-                mc = cost(ln, dl, rn, dr) - cost(ln, dl - 1, rn, dr + 1)
-                gl += np.bincount(pl, weights=mc, minlength=ln)
-            if len(qr):
-                dl, dr = cl[ir], cr[ir]
-                mc = cost(ln, dl, rn, dr) - cost(ln, dl + 1, rn, dr - 1)
-                gr += np.bincount(pr, weights=mc, minlength=rn)
-        return gl, gr
+    csr4 = (out_ptr, out_nbr, in_ptr, in_nbr)
 
     def bisect(part: np.ndarray) -> np.ndarray:
         if len(part) < min_part:
             return part
         mid = len(part) // 2
-        left, right = part[:mid].copy(), part[mid:].copy()
-        gl, gr = static_gain(left, right)
-        for _ in range(max_iters):
-            ol = np.argsort(-gl, kind="stable")
-            left, gl = left[ol], gl[ol]
-            orr = np.argsort(-gr, kind="stable")
-            right, gr = right[orr], gr[orr]
-            m = min(len(left), len(right))
-            pos = gl[:m] + gr[:m] > 0
-            k = int(m if pos.all() else np.argmin(pos))
-            if k == 0:
-                break
-            left[:k], right[:k] = right[:k].copy(), left[:k].copy()
-            if recompute_gains:
-                gl, gr = static_gain(left, right)
-            else:
-                # static gains are per-VERTEX — values travel with the
-                # swapped vertices, exactly as the old gain[v] indexing did
-                gl[:k], gr[:k] = gr[:k].copy(), gl[:k].copy()
+        left, right = _bisect_refine(
+            part[:mid].copy(), part[mid:].copy(), csr4, max_iters,
+            recompute_gains,
+        )
         return np.concatenate([bisect(left), bisect(right)])
 
     layout = bisect(np.arange(n, dtype=np.int64))

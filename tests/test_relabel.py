@@ -533,3 +533,69 @@ def test_hybrid_bfsdeg_exact_multiroot_random(spark):
         expect = _hybrid_exact_oracle(edges)
         assert got == expect
         assert sorted(got.values()) == list(range(len(expect)))
+
+
+def test_graph_bisection_order_equals_driver_exact(spark):
+    """The distributed level-synchronous bisection must be BIT-IDENTICAL
+    to the driver-exact mloggapa_order whenever every part fits a task —
+    both recursions call the shared _bisect_refine kernel on identical
+    part-local inputs, and the level-synchronous (part, rank) order is
+    the DFS concatenation order. Both gain dynamics checked."""
+    from graphsetintersection_spark.operators.relabel import (
+        graph_bisection_order,
+        mloggapa_order,
+    )
+
+    pairs = sorted(
+        {(u, v) for u, v in random_graph(180, 1400, seed=23) if u != v}
+    )
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    for rg in (True, False):
+        exact = {
+            r["org_id"]: r["new_id"]
+            for r in mloggapa_order(df, recompute_gains=rg).collect()
+        }
+        dist = {
+            r["org_id"]: r["new_id"]
+            for r in graph_bisection_order(df, recompute_gains=rg).collect()
+        }
+        assert dist == exact, f"recompute_gains={rg}"
+
+
+def test_graph_bisection_order_oversize_median_cut(spark):
+    """Parts above max_task_vertices split by the pure-expression median
+    cut (no task materializes them); refinement engages below the cap.
+    The output must still be a permutation, and with the cap above n it
+    must return to exact driver parity."""
+    from graphsetintersection_spark.operators.relabel import (
+        graph_bisection_order,
+        mloggapa_order,
+    )
+
+    pairs = sorted(
+        {(u, v) for u, v in random_graph(160, 1000, seed=31) if u != v}
+    )
+    verts = sorted({u for e in pairs for u in e})
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r["org_id"]: r["new_id"]
+        for r in graph_bisection_order(df, max_task_vertices=40).collect()
+    }
+    # permutation over exactly the touched vertex set
+    assert sorted(got.keys()) == verts
+    assert sorted(got.values()) == list(range(len(verts)))
+    # the first (oversize) cuts are rank-median cuts of the ascending-id
+    # layout, so the top split boundary is the id median
+    mid_id = verts[len(verts) // 2]
+    left_ids = {v for v, pos in got.items() if pos < len(verts) // 2}
+    assert left_ids == set(verts[: len(verts) // 2]), (
+        "top median cut must split the initial layout in half"
+    )
+    assert mid_id not in left_ids
+    # cap above n → identical to the driver-exact operator
+    full = {
+        r["org_id"]: r["new_id"]
+        for r in graph_bisection_order(df, max_task_vertices=10**6).collect()
+    }
+    exact = {r["org_id"]: r["new_id"] for r in mloggapa_order(df).collect()}
+    assert full == exact
