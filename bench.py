@@ -250,7 +250,7 @@ def main() -> None:
         "minhash_lsh_prod",
         lambda: minhash_lsh_pairs(
             docs_full, num_perm=128, bands=32, threshold=0.5,
-            verify=True, verify_hashed=True,
+            verify=True, verify_hashed=True, est_prefilter_sigmas=4.0,
         ).collect(),
     )
     timed(

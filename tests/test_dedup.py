@@ -106,6 +106,24 @@ def test_minhash_lsh_finds_near_dups(spark, docs_with_dups):
         assert py_jaccard(oracle_rows[a], oracle_rows[b]) >= 0.5
 
 
+def test_minhash_est_prefilter_preserves_output(spark, docs_with_dups):
+    """The 4σ estimate-prefilter (the production verify accelerator) must
+    not change the verified pair set on this corpus — it only removes
+    candidates whose slot-agreement estimate sits far below threshold,
+    and every planted dup's estimate is near 1."""
+    base = minhash_lsh_pairs(
+        docs_with_dups, num_perm=64, bands=16, threshold=0.5, verify=True
+    )
+    pref = minhash_lsh_pairs(
+        docs_with_dups, num_perm=64, bands=16, threshold=0.5, verify=True,
+        est_prefilter_sigmas=4.0,
+    )
+    rows_b = {(r["id_a"], r["id_b"]): r["jaccard"] for r in base.collect()}
+    rows_p = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pref.collect()}
+    assert rows_p == rows_b
+    assert len(rows_p) >= 20
+
+
 def test_simhash_near_dups(spark, docs_with_dups):
     pairs = simhash_pairs(docs_with_dups, max_hamming=3)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
