@@ -280,7 +280,10 @@ def _build_bitset(vs, indptr, flat):
     import numpy as np
 
     n = int(vs[-1]) + 1 if len(vs) else 0
-    W = max((n + 63) // 64, 1)
+    # columns must span the neighbor VALUE domain; for lower adjacency
+    # values are < row ids by construction, but guard generically
+    vmax = max(n, int(flat.max()) + 1 if len(flat) else 0)
+    W = max((vmax + 63) // 64, 1)
     M = np.zeros((n, W), dtype=np.uint64)
     if len(flat):
         rows = np.repeat(vs, np.diff(indptr))
