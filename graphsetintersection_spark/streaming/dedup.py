@@ -65,6 +65,32 @@ def minhash_band_index(
     )
 
 
+def write_band_index(
+    index: DataFrame, table: str, buckets: int = 256
+) -> None:
+    """Persist a ``minhash_band_index`` frame as a parquet table BUCKETED
+    on the join key (band, bucket). This is the 100-TB shape: the index
+    is the big side of every micro-batch's candidate join, and a bucketed
+    layout means its scan arrives pre-partitioned — Spark plans NO
+    exchange above the index side (only the small micro-batch shuffles to
+    match), pytest plan-pinned. Re-bucketing happens once at compaction
+    time (append accepted docs' band rows, rewrite) instead of once per
+    micro-batch."""
+    (
+        index.write.bucketBy(buckets, "band", "bucket")
+        .sortBy("band", "bucket")
+        .format("parquet")
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+
+
+def read_band_index(spark, table: str) -> DataFrame:
+    """The bucketed index back as a DataFrame (bucket metadata rides with
+    the catalog table, which is what lets the join skip the exchange)."""
+    return spark.table(table)
+
+
 def stream_minhash_neardup(
     docs_stream: DataFrame,
     index: DataFrame,

@@ -152,3 +152,41 @@ def test_stream_dedup_state_is_watermark_bounded(spark, corpus):
         "DeduplicateWithinWatermark", "dropDuplicatesWithinWatermark"
     )
     assert "EventTimeWatermark" in plan
+
+
+def test_bucketed_index_skips_index_side_exchange(spark, corpus):
+    """write_band_index persists the index bucketed on (band, bucket);
+    the candidate join must then read it WITHOUT an exchange above the
+    index scan (only the incoming side shuffles to match) and produce
+    the same matches as the in-memory index."""
+    from graphsetintersection_spark.streaming.dedup import (
+        read_band_index,
+        write_band_index,
+    )
+
+    historical, incoming = corpus
+    index = minhash_band_index(historical, NUM_PERM, BANDS)
+    table = "band_index_bucketed_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    write_band_index(index, table, buckets=8)
+    try:
+        bidx = read_band_index(spark, table)
+        out = batch_minhash_neardup(
+            incoming, bidx, NUM_PERM, BANDS, threshold=0.5
+        )
+        got = {(r["doc_id"], r["dup_of"]) for r in out.collect()}
+        exp = {
+            (r["doc_id"], r["dup_of"])
+            for r in batch_minhash_neardup(
+                incoming, index, NUM_PERM, BANDS, threshold=0.5
+            ).collect()
+        }
+        assert got == exp and got
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the index-side FileScan reports its bucketing to the planner...
+        assert "Bucketed: true" in plan
+        # ...and the index side alone plans with no shuffle at all
+        idx_plan = bidx._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in idx_plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
