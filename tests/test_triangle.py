@@ -177,10 +177,12 @@ def test_triangle_broadcast_and_bitset_parity(spark):
             assert got == expected, (strategy, kernel)
     with pytest.raises(ValueError):
         triangle_count_kernel(df, kernel="bitset", strategy="join")
-    # no route leaked a cache (other suite fixtures may hold their own —
-    # compare against the entry snapshot, not zero)
+    # no route leaked a cache: the count must not GROW. (Not ==: other
+    # suite fixtures hold caches, and unpersist() is asynchronous, so
+    # earlier tests' caches can disappear mid-test; a leak here can only
+    # push the count up.)
     sc = spark.sparkContext
-    assert sc._jsc.sc().getPersistentRDDs().size() == cached_before
+    assert sc._jsc.sc().getPersistentRDDs().size() <= cached_before
 
 
 def test_pick_broadcast_kernel_bounds():
