@@ -599,3 +599,24 @@ def test_graph_bisection_order_oversize_median_cut(spark):
     }
     exact = {r["org_id"]: r["new_id"] for r in mloggapa_order(df).collect()}
     assert full == exact
+
+
+def test_bfs_levels_broadcast_equals_shuffle(spark):
+    """_bfs_levels' broadcast-state strategy (stationary cached edges,
+    broadcast frontier/visited — the CC/LPA/PageRank round shape) must
+    produce exactly the shuffle strategy's levels, and its per-level
+    join must plan broadcast-side (no shuffle of the edge frame)."""
+    from graphsetintersection_spark.operators.relabel import _bfs_levels
+
+    pairs = sorted(
+        {(u, v) for u, v in random_graph(120, 700, seed=41) if u != v}
+    )
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    root = pairs[0][0]
+    lv_b, live_b = _bfs_levels(df, root, 32, broadcast_state=True)
+    lv_s, live_s = _bfs_levels(df, root, 32, broadcast_state=False)
+    got_b = {(r["v"], r["level"]) for r in lv_b.collect()}
+    got_s = {(r["v"], r["level"]) for r in lv_s.collect()}
+    assert got_b == got_s and got_b
+    for f in live_b + live_s:
+        f.unpersist()
