@@ -801,12 +801,14 @@ def graph_bisection_order(
             ),
         )
     )
-    state = global_order_stats(
-        base, [F.col("v").asc()], rank_col="rank"
-    ).select("v", F.lit(0).cast("long").alias("part"), "rank",
-             "out_nbrs", "in_nbrs")
+    ranked0 = global_order_stats(base, [F.col("v").asc()], rank_col="rank")
+    state = ranked0.select(
+        "v", F.lit(0).cast("long").alias("part"), "rank",
+        "out_nbrs", "in_nbrs",
+    )
     n = state.count()
     if n == 0:
+        ranked0.unpersist()
         return spark.createDataFrame([], "org_id long, new_id long")
 
     schema = (
@@ -854,7 +856,9 @@ def graph_bisection_order(
         ])
         return out
 
-    prev = None
+    # the initial materialized rank frame is itself a live cache — track
+    # it in prev so the first level's checkpoint releases it too
+    prev = ranked0
     levels = min(max_levels, max(1, math.ceil(math.log2(max(n, 2))))) + 1
     for _ in range(levels):
         sizes = state.groupBy("part").agg(
