@@ -385,6 +385,7 @@ def _kernel_count(
     strategy: str,
     acc_inter=None,
     acc_cmp=None,
+    persist_adjacency: bool = True,
 ) -> int:
     """Shared planner for the kernel triangle counts. ONE probe aggregate
     over the persisted adjacency decides both the strategy and (on the
@@ -401,6 +402,17 @@ def _kernel_count(
       adjacency equi-joins with the broadcast-hub split for Zipf skew;
       neighbor lists ship once per incident edge, which is the price of
       not fitting in memory.
+
+    ``persist_adjacency`` (join path): True (default) caches the
+    adjacency so it builds ONCE and both joins read the cache — the
+    lowest measured wall-clock at every size tried (59M edges, local[4]:
+    ~235s pooled-median vs the recompute plan's 290s; local[16]: parity).
+    False rebuilds the adjacency aggregate inside each join — more total
+    work, but all of it embarrassingly parallel shuffle/aggregate, which
+    is the shape that measured the 0.84 two-size scaling efficiency
+    (BENCH/BASELINE.md round 3 vs round 5 discussion): on a fixed-size
+    single box, deleting redundant parallel work lowers the 4→16 RATIO
+    even as it lowers every absolute time.
     """
     from graphsetintersection_spark.kernels import (
         batch_bsr_intersect_count as _bsr,
@@ -458,14 +470,21 @@ def _kernel_count(
             "mx"
         ] >= 16 * (probe["av"] or 1.0):
             hub_deg_ratio = AUTO_HUB_RATIO
-    j1 = _join_adj(e, adj, "src", "nbrs_a", hub_deg_ratio)
-    j2 = _join_adj(j1, adj, "dst", "nbrs_b", hub_deg_ratio)
+    adj_join = adj
+    if not persist_adjacency:
+        # the probe already ran off the cache; rebuild per join from the
+        # raw aggregate (see persist_adjacency in the docstring)
+        adj.unpersist()
+        adj_join = lower_adjacency(e)
+    j1 = _join_adj(e, adj_join, "src", "nbrs_a", hub_deg_ratio)
+    j2 = _join_adj(j1, adj_join, "dst", "nbrs_b", hub_deg_ratio)
     joined = j2.select("src", "dst", "nbrs_a", "nbrs_b")
     kernel_fn = {"bsr": _bsr, "auto": _bsr, "uint": _uint}[kernel]
     fn = _make_count_batches(kernel_fn, acc_inter, acc_cmp)
     partials = joined.mapInArrow(fn, "tri long")
     row = partials.agg(F.sum("tri").alias("tri")).collect()[0]
-    adj.unpersist()
+    if persist_adjacency:
+        adj.unpersist()
     return int(row["tri"] or 0)
 
 
@@ -474,6 +493,7 @@ def triangle_count_kernel(
     hub_deg_ratio: float | None | str = "auto",
     kernel: str = "auto",
     strategy: str = "auto",
+    persist_adjacency: bool = True,
 ) -> int:
     """Adjacency + vectorized numpy batch kernel via mapInArrow.
 
@@ -508,7 +528,10 @@ def triangle_count_kernel(
     the Org-path parity twin, kept for differential testing and for
     extremely sparse id spaces), "bitset" (dense bit matrix; broadcast
     strategy only)."""
-    return _kernel_count(edges, hub_deg_ratio, kernel, strategy)
+    return _kernel_count(
+        edges, hub_deg_ratio, kernel, strategy,
+        persist_adjacency=persist_adjacency,
+    )
 
 
 def triangles_per_edge(edges: DataFrame) -> DataFrame:
