@@ -287,6 +287,11 @@ def minhash_signatures(
               for _ in range(num_perm)]
     if method == "auto":
         method = "kernel"
+    if method not in ("kernel", "agg"):
+        raise ValueError(
+            f"unknown minhash signature method {method!r}; expected "
+            "'auto', 'kernel', or 'agg'"
+        )
     if method == "kernel":
         import numpy as np
 

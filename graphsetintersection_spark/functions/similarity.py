@@ -179,10 +179,27 @@ def hyperplane_buckets(
         dim = int(first[0])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, n_planes, dim))
+    if method not in ("auto", "kernel", "expr"):
+        raise ValueError(
+            f"unknown hyperplane method {method!r}; expected 'auto', "
+            "'kernel', or 'expr'"
+        )
+    if method == "kernel" and keep_vec:
+        # refuse rather than silently downgrade: a caller explicitly
+        # requesting the GEMM kernel would otherwise get the
+        # O(n_tables·n_planes)-per-row expression path back with no
+        # signal (the kernel's output contract is ids-only)
+        raise ValueError(
+            "method='kernel' emits ids-only bucket rows; use "
+            "keep_vec=False and re-join the vectors on the id after "
+            "candidate dedup (the cheaper shape), or method='expr'"
+        )
     if method == "auto":
-        method = "kernel" if n_tables * n_planes >= 16 else "expr"
-    if keep_vec:
-        method = "expr"  # ids-only contract for the kernel path
+        method = (
+            "expr"
+            if keep_vec  # ids-only contract for the kernel path
+            else ("kernel" if n_tables * n_planes >= 16 else "expr")
+        )
     if method == "kernel":
         import pandas as pd
 

@@ -317,6 +317,13 @@ def connected_components_auto(
         .where(F.col("_cs") != F.col("_cd"))
         .select(F.col("_cs").alias("src"), F.col("_cd").alias("dst"))
         .distinct()
+        # materialize ONCE: star contraction's round 0 references its
+        # input several times (groupBy-min + join in each of large-star /
+        # small-star), and Spark does not dedupe common subtrees — an
+        # unchecked plan would re-run the edges scan + both label joins
+        # 3-4×. localCheckpoint also truncates the lineage so the rounds
+        # replan from a leaf (same discipline as the iterative rounds).
+        .localCheckpoint(eager=True)
     )
     star = connected_components_starcontraction(contracted, max_rounds=max_rounds)
     roots = star.components.select(

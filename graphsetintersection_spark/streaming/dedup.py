@@ -91,6 +91,37 @@ def read_band_index(spark, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def _validate_index(index: DataFrame, num_perm: int, bands: int) -> None:
+    """Fail fast on an index built with different LSH parameters than the
+    query side. A num_perm mismatch pads ``zip_with`` with nulls and
+    deflates every Jaccard estimate; a bands mismatch hashes different
+    signature slices into the buckets, so the (band, bucket) join quietly
+    matches almost nothing — the stream would report no duplicates for
+    weeks with zero error signal. One column-pruned aggregate over the
+    static index at query-build time (every document emits every band id,
+    so max(band) == bands-1 whenever the index is non-empty)."""
+    row = index.agg(
+        F.min(F.size("index_sig")).alias("lo"),
+        F.max(F.size("index_sig")).alias("hi"),
+        F.max("band").alias("max_band"),
+    ).collect()[0]
+    if row["lo"] is None:
+        return  # empty index — joins to nothing, legitimately
+    if row["lo"] != num_perm or row["hi"] != num_perm:
+        raise ValueError(
+            f"index signatures carry {row['lo']}..{row['hi']} slots but "
+            f"the query side is configured with num_perm={num_perm}; "
+            "rebuild the index or match the parameters (a mismatch "
+            "silently deflates every Jaccard estimate)"
+        )
+    if row["max_band"] != bands - 1:
+        raise ValueError(
+            f"index carries bands 0..{row['max_band']} but the query "
+            f"side is configured with bands={bands}; bucket hashes would "
+            "not line up and the join would silently miss duplicates"
+        )
+
+
 def stream_minhash_neardup(
     docs_stream: DataFrame,
     index: DataFrame,
@@ -101,6 +132,7 @@ def stream_minhash_neardup(
     id_col: str = "doc_id",
     text_col: str = "text",
     state_horizon: str = "10 minutes",
+    validate: bool = True,
 ) -> DataFrame:
     """Streaming (doc_id, dup_of, est_jaccard) near-duplicate matches of
     each incoming document against a ``minhash_band_index`` frame.
@@ -124,7 +156,14 @@ def stream_minhash_neardup(
 
     Semantics equal the batch path run per micro-batch: for any prefix of
     the stream, collected matches == the batch band-join of those
-    documents against the same index (pytest-pinned batch parity)."""
+    documents against the same index (pytest-pinned batch parity).
+
+    ``validate`` (default True) cross-checks the index against
+    num_perm/bands at query-build time (one column-pruned aggregate over
+    the static side — see ``_validate_index``); pass False to skip when
+    the same process built the index this session."""
+    if validate:
+        _validate_index(index, num_perm, bands)
     sigs = minhash_signatures(
         docs_stream, num_perm, n, id_col, text_col, method="kernel"
     )

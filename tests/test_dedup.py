@@ -251,3 +251,14 @@ def test_no_cache_leak_after_pipelines(spark, docs_with_dups):
     jaccard_for_pairs(sample, pairs).collect()
     leaked = cache_rdd_ids() - before
     assert not leaked, f"leaked non-checkpoint caches: {leaked}"
+
+
+def test_minhash_sig_method_validation(spark, docs_with_dups):
+    """A typo'd signature method raises instead of silently running the
+    slower relational agg path."""
+    import pytest
+
+    from graphsetintersection_spark.functions.dedup import minhash_signatures
+
+    with pytest.raises(ValueError, match="unknown minhash"):
+        minhash_signatures(docs_with_dups, method="kernal")

@@ -148,3 +148,21 @@ def test_ivf_train_deterministic(spark, vecs):
     c1 = ivf_train(vecs, n_cells=6, seed=13)
     c2 = ivf_train(vecs.repartition(7), n_cells=6, seed=13)
     assert np.array_equal(c1, c2)
+
+
+def test_hyperplane_method_validation(spark, vecs):
+    """Unknown method strings raise, and an explicit GEMM-kernel request
+    with keep_vec=True refuses instead of silently downgrading to the
+    per-row expression path (the 22.6s regression shape)."""
+    import pytest
+
+    from graphsetintersection_spark.functions.similarity import (
+        hyperplane_buckets,
+    )
+
+    with pytest.raises(ValueError, match="unknown hyperplane method"):
+        hyperplane_buckets(vecs, method="kernal")
+    with pytest.raises(ValueError, match="ids-only"):
+        hyperplane_buckets(vecs, method="kernel", keep_vec=True)
+    # auto + keep_vec still resolves (to expr) without error
+    hyperplane_buckets(vecs, n_planes=4, keep_vec=True).limit(1).collect()

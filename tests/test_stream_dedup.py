@@ -190,3 +190,27 @@ def test_bucketed_index_skips_index_side_exchange(spark, corpus):
         assert "Exchange" not in idx_plan
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_index_parameter_mismatch_fails_fast(spark, corpus):
+    """An index built with different num_perm/bands than the query side
+    must raise at query-build time — a mismatch otherwise silently
+    empties (bands) or deflates (num_perm) the candidate join and the
+    stream reports no duplicates with zero error signal."""
+    historical, incoming = corpus
+    index = minhash_band_index(historical, num_perm=NUM_PERM, bands=BANDS)
+    with pytest.raises(ValueError, match="num_perm"):
+        stream_minhash_neardup(
+            incoming, index, num_perm=NUM_PERM * 2, bands=BANDS
+        )
+    with pytest.raises(ValueError, match="bands"):
+        stream_minhash_neardup(
+            incoming, index, num_perm=NUM_PERM, bands=BANDS * 2
+        )
+    # matching parameters pass the same validation
+    stream_minhash_neardup(incoming, index, num_perm=NUM_PERM, bands=BANDS)
+    # an EMPTY index is legitimate (joins to nothing), not a config error
+    # — even with parameters that differ from the index's build config
+    stream_minhash_neardup(
+        incoming, index.where(F.lit(False)), num_perm=8, bands=4
+    )

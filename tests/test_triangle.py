@@ -186,8 +186,9 @@ def test_triangle_broadcast_and_bitset_parity(spark):
 
 
 def test_pick_broadcast_kernel_bounds():
-    """kernel='auto' routing: dense compact ids → bitset; sparse or huge
-    id spaces → bsr (matrix infeasible or per-edge AND loses)."""
+    """kernel='auto' routing: dense compact ids → bitset; sparse, huge,
+    or negative id spaces → bsr (matrix infeasible, per-edge AND loses,
+    or bit-row indexing would wrap)."""
     import numpy as np
 
     from graphsetintersection_spark.operators.triangle import (
@@ -196,15 +197,83 @@ def test_pick_broadcast_kernel_bounds():
     )
 
     dense_vs = np.arange(1, 1000, dtype=np.int64)
-    indptr = np.zeros(1000, dtype=np.int64)  # unused by the heuristic
+    flat = np.zeros(1000, dtype=np.int64)  # neighbor values, all ≥ 0
     # ~26%-dense graph: mean lower-degree 130 vs W=16 words → bitset
-    assert _pick_broadcast_kernel("auto", dense_vs, indptr, 130_000) == "bitset"
+    assert _pick_broadcast_kernel("auto", dense_vs, flat, 130_000) == "bitset"
     # avg lower-degree ~1 on the same id space: W=16 > 8·1 → bsr
-    assert _pick_broadcast_kernel("auto", dense_vs, indptr, 1_000) == "bsr"
+    assert _pick_broadcast_kernel("auto", dense_vs, flat, 1_000) == "bsr"
     # id space so large the matrix exceeds the broadcast budget → bsr
     huge = np.array([0, 10_000_000], dtype=np.int64)
     n = 10_000_001
     assert n * ((n + 63) // 64) * 8 > BITSET_MAX_BYTES
-    assert _pick_broadcast_kernel("auto", huge, indptr, 10**9) == "bsr"
+    assert _pick_broadcast_kernel("auto", huge, flat, 10**9) == "bsr"
+    # negative id as a ROW id → bsr
+    neg_vs = np.array([-5, 1, 2], dtype=np.int64)
+    assert _pick_broadcast_kernel("auto", neg_vs, flat, 130_000) == "bsr"
+    # negative id only as a neighbor VALUE (the global-min vertex never
+    # appears as a lower-adjacency row — vs[0] ≥ 0 alone misses it) → bsr
+    neg_flat = np.array([-5, 1], dtype=np.int64)
+    assert _pick_broadcast_kernel("auto", dense_vs, neg_flat, 130_000) == "bsr"
     # explicit kernels pass through untouched
-    assert _pick_broadcast_kernel("uint", dense_vs, indptr, 130_000) == "uint"
+    assert _pick_broadcast_kernel("uint", dense_vs, flat, 130_000) == "uint"
+
+
+def test_negative_ids_fail_loudly_never_silently(spark):
+    """Un-relabeled id spaces (negative ids) must NEVER return a silently
+    wrong count. The element kernels already refuse via the row-shift
+    guard (kernels._check_row_shift, 'relabel first'); the dense bit
+    matrix was the one hole — fancy indexing wrapped negative ids to the
+    wrong rows and produced a plausible wrong answer. Now every kernel
+    route raises, and the pure relational forms (no packed-id trick)
+    count correctly. Note -5 appears only as a neighbor VALUE in the
+    lower adjacency, never as a row id — a vs[0] ≥ 0 check alone would
+    miss it."""
+    import pytest
+
+    pairs = [(-5, 1), (1, 2), (-5, 2), (2, 7)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    expected = brute_triangles(pairs)
+    assert expected == 1
+    # relational forms handle any id space
+    assert triangle_count_join(df) == expected
+    assert triangle_count_arrays(df) == expected
+    # explicit bitset: refused up front (would otherwise wrap silently)
+    with pytest.raises(ValueError, match="non-negative"):
+        triangle_count_kernel(df, kernel="bitset", strategy="broadcast")
+    # auto resolution routes away from the bit matrix, and the element
+    # kernel it lands on raises the loud relabel-first error (surfaced
+    # through Spark's executor-exception wrapper, hence match on str)
+    for kwargs in (
+        {},  # auto/auto
+        {"strategy": "join"},
+        {"strategy": "broadcast", "kernel": "uint"},
+    ):
+        with pytest.raises(Exception, match="relabel"):
+            triangle_count_kernel(df, **kwargs)
+
+
+def test_collect_csr_arrow_matches_rows(spark):
+    """The Arrow CSR collection (one contiguous buffer, no per-row Python
+    objects) must return exactly what the Row-based fallback returns —
+    same sorted vertices, same indptr, same flattened neighbor order."""
+    import numpy as np
+
+    from graphsetintersection_spark.operators.adjacency import lower_adjacency
+    from graphsetintersection_spark.operators.edges import orient
+    from graphsetintersection_spark.operators.triangle import (
+        _collect_csr,
+        _collect_csr_rows,
+    )
+
+    pairs = random_graph(120, 900, seed=23)
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    adj = lower_adjacency(orient(df).select("src", "dst"))
+    vs_a, ip_a, fl_a = _collect_csr(adj)
+    vs_r, ip_r, fl_r = _collect_csr_rows(adj)
+    np.testing.assert_array_equal(vs_a, vs_r)
+    np.testing.assert_array_equal(ip_a, ip_r)
+    np.testing.assert_array_equal(fl_a, fl_r)
+    # empty adjacency round-trips too
+    empty = spark.createDataFrame([], "v long, nbrs array<long>")
+    vs_e, ip_e, fl_e = _collect_csr(empty)
+    assert len(vs_e) == 0 and len(fl_e) == 0 and ip_e[-1] == 0
