@@ -29,6 +29,7 @@ SF_TINY = "/root/testdata/sf0.001"
 SGRAPH_V = 5000
 PR_ITERS = 10
 PR_ALPHA = 0.85
+PPR_SEEDS = 8  # personalized-PageRank gate: the 8 smallest vertex ids
 LPA_ROUNDS = 4
 
 # --------------------------------------------------------------------------
@@ -160,6 +161,29 @@ def _q_pagerank_kernel(spark, sf_dir):
     from graphsetintersection_spark.operators.pagerank import pagerank_kernel
 
     res = pagerank_kernel(_lgraph(spark, sf_dir), alpha=PR_ALPHA, max_iter=PR_ITERS)
+    return res.ranks.select(
+        "v", F.round(F.col("rank") * 1e6, 0).cast("long").alias("rank_ppm")
+    )
+
+
+def _q_personalized_pagerank(spark, sf_dir):
+    """Seed-restart PageRank (topical ranking / spam-seed scoring) —
+    deterministic seed set: the PPR_SEEDS smallest vertex ids."""
+    from graphsetintersection_spark.operators.pagerank import (
+        personalized_pagerank,
+    )
+
+    g = _lgraph(spark, sf_dir)
+    seeds = (
+        g.select(F.col("src").alias("v"))
+        .union(g.select(F.col("dst").alias("v")))
+        .distinct()
+        .orderBy("v")
+        .limit(PPR_SEEDS)
+    )
+    res = personalized_pagerank(
+        g, seeds, alpha=PR_ALPHA, max_iter=PR_ITERS, tol=None
+    )
     return res.ranks.select(
         "v", F.round(F.col("rank") * 1e6, 0).cast("long").alias("rank_ppm")
     )
@@ -454,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_edge": _q_triangles_per_edge,
         "pagerank": _q_pagerank,
         "pagerank_kernel": _q_pagerank_kernel,
+        "personalized_pagerank": _q_personalized_pagerank,
         "connected_components": _q_connected_components,
         "connected_components_minlabel": _q_connected_components_minlabel,
         "connected_components_auto": _q_connected_components_auto,
@@ -515,6 +540,47 @@ def _pagerank_oracle_sql() -> str:
             f"{q} as materialized (select verts.v, (1-{a})/(select c from nn) + {a}*("
             f"coalesce(c{i}.contrib, 0) + (select dm from d{i})/(select c from nn)"
             f") as rank from verts left join c{i} on c{i}.v = verts.v)"
+        )
+    parts.append(
+        f"select v, cast(round(rank * 1000000, 0) as bigint) as rank_ppm "
+        f"from r{PR_ITERS}"
+    )
+    return ",\n".join(parts[:1] + parts[1:-1]) + "\n" + parts[-1]
+
+
+def _ppr_oracle_sql() -> str:
+    """Personalized PageRank, PR_ITERS unrolled: restart vector p uniform
+    over the PPR_SEEDS smallest vertex ids; r' = (1−a)·p + a·(contrib +
+    dm·p) with the dangling mass dm redistributed over p (identical
+    semantics to operators.pagerank.personalized_pagerank; dm computed as
+    the dangling vertices' rank sum, algebraically equal to the engine's
+    1 − Σcontrib because Σr = 1 is conserved)."""
+    a = PR_ALPHA
+    parts = [
+        f"with edges as materialized ({_LGRAPH_EDGES})",
+        "verts as materialized (select src as v from edges union select dst from edges)",
+        f"sv as materialized (select v from verts order by v limit {PPR_SEEDS})",
+        "ns as materialized (select count(*) as c from sv)",
+        "tp as materialized (select verts.v, case when verts.v in (select v from sv) "
+        "then 1.0/(select c from ns) else 0.0 end as p from verts)",
+        "outdeg as materialized (select src as v, count(*) as od from edges group by src)",
+        "r0 as materialized (select v, p as rank from tp)",
+    ]
+    for i in range(PR_ITERS):
+        p, q = f"r{i}", f"r{i + 1}"
+        parts.append(
+            f"d{i} as materialized (select coalesce(sum(rank),0) as dm from {p} "
+            f"where v not in (select v from outdeg))"
+        )
+        parts.append(
+            f"c{i} as materialized (select e.dst as v, sum(r.rank/o.od) as contrib "
+            f"from edges e join {p} r on r.v = e.src "
+            f"join outdeg o on o.v = e.src group by e.dst)"
+        )
+        parts.append(
+            f"{q} as materialized (select tp.v, (1-{a})*tp.p + {a}*("
+            f"coalesce(c{i}.contrib, 0) + (select dm from d{i})*tp.p"
+            f") as rank from tp left join c{i} on c{i}.v = tp.v)"
         )
     parts.append(
         f"select v, cast(round(rank * 1000000, 0) as bigint) as rank_ppm "
@@ -1025,6 +1091,7 @@ where e1.u <> e2.w
 """,
         "pagerank": _pagerank_oracle_sql(),
         "pagerank_kernel": _pagerank_oracle_sql(),
+        "personalized_pagerank": _ppr_oracle_sql(),
         "connected_components": _CC_ORACLE_SQL,
         "connected_components_minlabel": _CC_ORACLE_SQL,
         "connected_components_auto": _CC_ORACLE_SQL,

@@ -85,6 +85,75 @@ def pagerank(
         prep.unpersist()
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    alpha: float = 0.85,
+    max_iter: int = 20,
+    tol: float | None = 1e-8,
+    weight_col: str | None = None,
+    checkpointer: CheckpointManager | None = None,
+    checkpoint_every: int = 1,
+    dedup: bool = True,
+    broadcast_ranks: bool | None = None,
+    salt_hubs: int | str | None = "auto",
+) -> PageRankResult:
+    """Personalized PageRank: random walks restart at the SEED set instead
+    of uniformly — the standard link-graph primitive for topical ranking,
+    seed-based spam scoring, and related-page retrieval (r' = (1−α)·p +
+    α·(Aᵀr/outdeg + D·p), p supported on the seeds).
+
+    ``seeds``: a DataFrame with a ``v`` column (optionally ``weight_col``
+    for a non-uniform restart). Duplicate seed rows sum their weight;
+    seeds absent from the graph are dropped and the surviving weights
+    renormalized to Σp = 1 (raises if none survive). Same engine as
+    ``pagerank``: one prepared, cached, degree-annotated edge frame; the
+    broadcast-state exchange-free rounds below the 10M-vertex cutover and
+    the salted shuffle path above it; per-iteration lineage truncation;
+    checkpoint/resume."""
+    prep = pagerank_df_prepare(
+        edges,
+        dedup=dedup,
+        broadcast_ranks=broadcast_ranks,
+        salt_hubs=salt_hubs,
+    )
+    try:
+        w = (
+            F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+        ).alias("w")
+        s = (
+            seeds.select(F.col("v").cast("long").alias("v"), w)
+            .groupBy("v")
+            .agg(F.sum("w").alias("w"))
+            .join(prep.verts, "v")  # only seeds that exist in the graph
+        )
+        row = s.agg(
+            F.sum("w").alias("t"), F.min("w").alias("mn")
+        ).collect()[0]
+        tot = float(row["t"] or 0.0)
+        if row["mn"] is not None and float(row["mn"]) < 0.0:
+            raise ValueError(
+                "personalized_pagerank: seed weights must be non-negative"
+            )
+        if tot <= 0.0:
+            raise ValueError(
+                "personalized_pagerank: no seed vertices present in the "
+                "graph (or zero total seed weight)"
+            )
+        tp = s.select("v", (F.col("w") / F.lit(tot)).alias("p"))
+        return pagerank_df_iterate(
+            prep,
+            alpha=alpha,
+            max_iter=max_iter,
+            tol=tol,
+            checkpointer=checkpointer,
+            checkpoint_every=checkpoint_every,
+            teleport=tp,
+        )
+    finally:
+        prep.unpersist()
+
+
 @dataclass
 class PreparedDFGraph:
     """Stationary state for the DataFrame power iteration: vertex set,
@@ -173,8 +242,17 @@ def pagerank_df_iterate(
     tol: float | None = 1e-8,
     checkpointer: CheckpointManager | None = None,
     checkpoint_every: int = 1,
+    teleport: DataFrame | None = None,
 ) -> PageRankResult:
-    """The DataFrame power-iteration loop over a PreparedDFGraph."""
+    """The DataFrame power-iteration loop over a PreparedDFGraph.
+
+    ``teleport`` (v, p) generalizes the restart distribution: with None
+    (the default) every vertex teleports uniformly (classic PageRank);
+    with a normalized vector (Σp = 1) the jump — and the dangling-mass
+    redistribution — lands on p instead, i.e. personalized PageRank:
+    r' = (1−α)·p + α·(Aᵀr/outdeg + D·p). Rank mass stays conserved
+    (Σr' = (1−α) + α·(Σcontrib + D) = 1), so the same D = 1 − Σcontrib
+    dangling trick applies verbatim."""
     spark = prep.e_deg.sparkSession
     verts, n, e_deg = prep.verts, prep.n, prep.e_deg
     broadcast_ranks, salt_s = prep.broadcast_ranks, prep.salt_s
@@ -182,8 +260,22 @@ def pagerank_df_iterate(
         empty = spark.createDataFrame([], "v long, rank double")
         return PageRankResult(empty, 0, True)
 
+    vp = verts
+    if teleport is not None:
+        # vertex-aligned restart vector, materialized ONCE (it is joined
+        # every iteration; localCheckpoint keeps the per-round plan a
+        # leaf and its blocks are reference-tracked for release)
+        vp = (
+            verts.join(teleport, "v", "left")
+            .select("v", F.coalesce(F.col("p"), F.lit(0.0)).alias("p"))
+            .localCheckpoint(eager=True)
+        )
+
     start_iter = 0
-    ranks = verts.select("v", F.lit(1.0 / n).alias("rank"))
+    if teleport is not None:
+        ranks = vp.select("v", F.col("p").alias("rank"))
+    else:
+        ranks = verts.select("v", F.lit(1.0 / n).alias("rank"))
     if checkpointer is not None:
         restored = checkpointer.restore(spark)
         if restored is not None:
@@ -235,20 +327,32 @@ def pagerank_df_iterate(
         tot_df = contribs.agg(
             F.coalesce(F.sum("contrib"), F.lit(0.0)).alias("_tot")
         )
-        new_ranks = (
-            verts.join(contribs, "v", "left")
-            .crossJoin(F.broadcast(tot_df))
-            .select(
-                "v",
-                (
-                    F.lit((1.0 - alpha) / n)
-                    + F.lit(alpha)
-                    * (
-                        F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + (F.lit(1.0) - F.col("_tot")) / F.lit(float(n))
-                    )
-                ).alias("rank"),
+        if teleport is not None:
+            restart = (
+                F.lit(1.0 - alpha) * F.col("p")
+                + F.lit(alpha)
+                * (
+                    F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + (F.lit(1.0) - F.col("_tot")) * F.col("p")
+                )
             )
+        else:
+            # kept byte-for-byte as the uniform formula (not folded into
+            # the teleport expression with p = 1/n): the gate hashes
+            # rank_ppm against a DuckDB oracle, and a different float
+            # association could flip a .5-boundary rounding
+            restart = (
+                F.lit((1.0 - alpha) / n)
+                + F.lit(alpha)
+                * (
+                    F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + (F.lit(1.0) - F.col("_tot")) / F.lit(float(n))
+                )
+            )
+        new_ranks = (
+            vp.join(contribs, "v", "left")
+            .crossJoin(F.broadcast(tot_df))
+            .select("v", restart.alias("rank"))
         )
 
         # materialize + TRUNCATE lineage every iteration: localCheckpoint

@@ -115,3 +115,115 @@ def test_pagerank_kernel_dangling_and_tol(spark):
     b = {r["v"]: r["rank"] for r in r_k.ranks.collect()}
     assert max(abs(a[v] - b[v]) for v in a) < 1e-9
     assert abs(sum(b.values()) - 1.0) < 1e-9
+
+
+def numpy_ppr(pairs, seeds, alpha=0.85, iters=40, weights=None):
+    """Dense personalized-PageRank oracle: restart and dangling mass land
+    on the seed distribution p instead of uniformly."""
+    edges = {(u, v) for u, v in pairs if u != v}
+    verts = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    p = np.zeros(n)
+    for j, s in enumerate(seeds):
+        if s in idx:
+            p[idx[s]] += (weights[j] if weights else 1.0)
+    p /= p.sum()
+    out_deg = np.zeros(n)
+    for u, v in edges:
+        out_deg[idx[u]] += 1
+    r = p.copy()
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        share = np.where(out_deg > 0, r / np.maximum(out_deg, 1), 0.0)
+        for u, v in edges:
+            contrib[idx[v]] += share[idx[u]]
+        dangling = r[out_deg == 0].sum()
+        r = (1 - alpha) * p + alpha * (contrib + dangling * p)
+    return {v: r[idx[v]] for v in verts}
+
+
+def test_ppr_allclose_and_mass_conserved(spark, tiny_graph):
+    from graphsetintersection_spark.operators.pagerank import (
+        personalized_pagerank,
+    )
+
+    pairs, df = tiny_graph
+    seeds_list = sorted({x for e in pairs for x in e})[:3]
+    seeds = spark.createDataFrame([(s,) for s in seeds_list], "v long")
+    res = personalized_pagerank(df, seeds, max_iter=40, tol=None)
+    _assert_allclose(res.ranks, numpy_ppr(pairs, seeds_list))
+    total = res.ranks.groupBy().sum("rank").collect()[0][0]
+    assert total == pytest.approx(1.0, abs=1e-9)
+
+
+def test_ppr_uniform_seeds_equals_pagerank(spark, tiny_graph):
+    """Seeding EVERY vertex uniformly reduces personalized PageRank to
+    classic PageRank — the two paths must agree to allclose 1e-9."""
+    from graphsetintersection_spark.operators.pagerank import (
+        personalized_pagerank,
+    )
+
+    pairs, df = tiny_graph
+    verts = sorted({x for e in pairs for x in e})
+    seeds = spark.createDataFrame([(v,) for v in verts], "v long")
+    ppr = personalized_pagerank(df, seeds, max_iter=15, tol=None)
+    pr = pagerank(df, max_iter=15, tol=None)
+    got = {r["v"]: r["rank"] for r in ppr.ranks.collect()}
+    exp = {r["v"]: r["rank"] for r in pr.ranks.collect()}
+    assert set(got) == set(exp)
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], abs=1e-9)
+
+
+def test_ppr_mass_localized_to_seed_component(spark):
+    """On a disconnected graph, rank mass can only reach vertices the
+    random walk can reach: seeding one component leaves the other at
+    exactly zero."""
+    from graphsetintersection_spark.operators.pagerank import (
+        personalized_pagerank,
+    )
+
+    pairs = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "v long")
+    res = personalized_pagerank(df, seeds, max_iter=30, tol=None)
+    ranks = {r["v"]: r["rank"] for r in res.ranks.collect()}
+    assert all(ranks[v] > 0 for v in (0, 1, 2))
+    assert all(ranks[v] == 0.0 for v in (10, 11, 12))
+    _assert_allclose(res.ranks, numpy_ppr(pairs, [0], iters=30))
+
+
+def test_ppr_weighted_seeds_and_renormalization(spark, tiny_graph):
+    """Weighted restart + seeds absent from the graph: missing seeds are
+    dropped and the surviving weights renormalized; duplicate seed rows
+    sum. Error cases raise instead of emitting a degenerate vector."""
+    from graphsetintersection_spark.operators.pagerank import (
+        personalized_pagerank,
+    )
+
+    pairs, df = tiny_graph
+    verts = sorted({x for e in pairs for x in e})
+    a, b = verts[0], verts[1]
+    seeds = spark.createDataFrame(
+        # (v, w): b carries 3x a's weight via a duplicate row; 10**9 is
+        # absent from the graph and must be dropped+renormalized away
+        [(a, 1.0), (b, 1.0), (b, 2.0), (10**9, 5.0)],
+        "v long, w double",
+    )
+    res = personalized_pagerank(df, seeds, max_iter=40, tol=None,
+                                weight_col="w")
+    _assert_allclose(
+        res.ranks, numpy_ppr(pairs, [a, b], weights=[1.0, 3.0])
+    )
+    with pytest.raises(ValueError, match="no seed vertices"):
+        personalized_pagerank(
+            df, spark.createDataFrame([(10**9,)], "v long"), max_iter=2
+        )
+    with pytest.raises(ValueError, match="non-negative"):
+        personalized_pagerank(
+            df,
+            spark.createDataFrame([(a, -1.0)], "v long, w double"),
+            max_iter=2,
+            weight_col="w",
+        )
