@@ -30,6 +30,7 @@ SGRAPH_V = 5000
 PR_ITERS = 10
 PR_ALPHA = 0.85
 PPR_SEEDS = 8  # personalized-PageRank gate: the 8 smallest vertex ids
+HITS_ITERS = 10
 LPA_ROUNDS = 4
 
 # --------------------------------------------------------------------------
@@ -186,6 +187,19 @@ def _q_personalized_pagerank(spark, sf_dir):
     )
     return res.ranks.select(
         "v", F.round(F.col("rank") * 1e6, 0).cast("long").alias("rank_ppm")
+    )
+
+
+def _q_hits(spark, sf_dir):
+    """Kleinberg hubs & authorities, HITS_ITERS synchronous L2-normalized
+    iterations over the link graph."""
+    from graphsetintersection_spark.operators.hits import hits
+
+    res = hits(_lgraph(spark, sf_dir), max_iter=HITS_ITERS, tol=None)
+    return res.scores.select(
+        "v",
+        F.round(F.col("hub") * 1e6, 0).cast("long").alias("hub_ppm"),
+        F.round(F.col("auth") * 1e6, 0).cast("long").alias("auth_ppm"),
     )
 
 
@@ -479,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "pagerank_kernel": _q_pagerank_kernel,
         "personalized_pagerank": _q_personalized_pagerank,
+        "hits": _q_hits,
         "connected_components": _q_connected_components,
         "connected_components_minlabel": _q_connected_components_minlabel,
         "connected_components_auto": _q_connected_components_auto,
@@ -585,6 +600,48 @@ def _ppr_oracle_sql() -> str:
     parts.append(
         f"select v, cast(round(rank * 1000000, 0) as bigint) as rank_ppm "
         f"from r{PR_ITERS}"
+    )
+    return ",\n".join(parts[:1] + parts[1:-1]) + "\n" + parts[-1]
+
+
+def _hits_oracle_sql() -> str:
+    """Synchronous L2-normalized HITS, HITS_ITERS unrolled: per iteration
+    auth = normalize(Σ_{u→v} hub(u)), hub = normalize(Σ_{u→v} auth(v)),
+    missing vertices at 0 — identical semantics to operators.hits."""
+    parts = [
+        f"with edges as materialized ({_LGRAPH_EDGES})",
+        "verts as materialized (select src as v from edges union select dst from edges)",
+        "h0 as materialized (select v, 1.0 as s from verts)",
+    ]
+    for i in range(HITS_ITERS):
+        parts.append(
+            f"ar{i} as materialized (select e.dst as v, sum(h.s) as s "
+            f"from edges e join h{i} h on h.v = e.src group by e.dst)"
+        )
+        parts.append(
+            f"an{i} as materialized (select sqrt(sum(s*s)) as nm from ar{i})"
+        )
+        parts.append(
+            f"a{i + 1} as materialized (select verts.v, "
+            f"coalesce(ar{i}.s, 0)/(select nm from an{i}) as s "
+            f"from verts left join ar{i} on ar{i}.v = verts.v)"
+        )
+        parts.append(
+            f"hr{i} as materialized (select e.src as v, sum(a.s) as s "
+            f"from edges e join a{i + 1} a on a.v = e.dst group by e.src)"
+        )
+        parts.append(
+            f"hn{i} as materialized (select sqrt(sum(s*s)) as nm from hr{i})"
+        )
+        parts.append(
+            f"h{i + 1} as materialized (select verts.v, "
+            f"coalesce(hr{i}.s, 0)/(select nm from hn{i}) as s "
+            f"from verts left join hr{i} on hr{i}.v = verts.v)"
+        )
+    parts.append(
+        f"select h.v, cast(round(h.s * 1000000, 0) as bigint) as hub_ppm, "
+        f"cast(round(a.s * 1000000, 0) as bigint) as auth_ppm "
+        f"from h{HITS_ITERS} h join a{HITS_ITERS} a on a.v = h.v"
     )
     return ",\n".join(parts[:1] + parts[1:-1]) + "\n" + parts[-1]
 
@@ -1092,6 +1149,7 @@ where e1.u <> e2.w
         "pagerank": _pagerank_oracle_sql(),
         "pagerank_kernel": _pagerank_oracle_sql(),
         "personalized_pagerank": _ppr_oracle_sql(),
+        "hits": _hits_oracle_sql(),
         "connected_components": _CC_ORACLE_SQL,
         "connected_components_minlabel": _CC_ORACLE_SQL,
         "connected_components_auto": _CC_ORACLE_SQL,

@@ -1,0 +1,205 @@
+"""HITS (hubs & authorities) — Kleinberg's link-analysis twin of PageRank.
+
+Semantics (synchronous, L2-normalized — the classic formulation): per
+iteration auth(v) = Σ_{u→v} hub(u) then L2-normalize over all vertices;
+hub(u) = Σ_{u→v} auth(v) then L2-normalize. The reference engine has no
+HITS (its query surface is TC / orderings / matching), but a link-graph
+analytics engine is expected to carry it next to PageRank — same corpus,
+same iterative-DataFrame machinery, and the web-spam / topical-ranking
+use cases the north rule's Common-Crawl corpus exists for.
+
+Execution strategy mirrors operators/pagerank.py exactly:
+
+- the edge table is cached TWICE, hash-partitioned by ``dst`` and by
+  ``src`` — HITS aggregates alternately on both keys, and a stationary
+  correctly-partitioned cache per key is what keeps the rounds
+  exchange-free (the iterative-graph discipline of
+  operators/iterative.py);
+- below the ~10M-vertex cutover the score vectors are BROADCAST each
+  half-step and the matching edge cache makes the aggregation
+  exchange-free: zero per-iteration shuffle;
+- above it, the scores shuffle into a sort-merge join against the
+  pre-sorted opposite cache and the aggregation is the one exchange per
+  half-step, with the shared salted two-stage aggregation
+  (plans/skew.two_stage_agg) engaged per aggregation key when that key's
+  degree distribution is Zipf-skewed;
+- every iteration's vectors are materialized with lineage truncation
+  (localCheckpoint) and the superseded snapshots released, so the
+  logical plan stays O(1) across iterations and long runs do not
+  accumulate cached score vectors.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphsetintersection_spark.operators.edges import canonicalize, vertices
+
+BROADCAST_SCORES_MAX_VERTICES = 10_000_000
+
+
+@dataclass
+class HITSResult:
+    scores: DataFrame  # (v: long, hub: double, auth: double)
+    iterations: int
+    converged: bool
+    deltas: list = field(default_factory=list)
+
+
+def _l2_normalized(raw: DataFrame, verts: DataFrame) -> DataFrame:
+    """Full-vertex score vector from a sparse aggregation result: missing
+    vertices get 0, then the whole vector divides by its L2 norm (zeros
+    contribute nothing, so the norm over the sparse frame equals the norm
+    over the full vector — one small aggregate, broadcast as one row)."""
+    nm = raw.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("_nm"))
+    return (
+        verts.join(raw, "v", "left")
+        .crossJoin(F.broadcast(nm))
+        .select(
+            "v",
+            (F.coalesce(F.col("s"), F.lit(0.0)) / F.col("_nm")).alias("s"),
+        )
+    )
+
+
+def hits(
+    edges: DataFrame,
+    max_iter: int = 10,
+    tol: float | None = None,
+    dedup: bool = True,
+    broadcast_scores: bool | None = None,
+    salt_hubs: int | str | None = "auto",
+) -> HITSResult:
+    """Run HITS for ``max_iter`` iterations (or until the hub vector's max
+    absolute change drops below ``tol``). Returns per-vertex (hub, auth)
+    scores, both L2-normalized.
+
+    ``broadcast_scores`` None picks by vertex count (the pagerank
+    cutover); ``salt_hubs`` engages the salted two-stage aggregation on
+    the shuffle path per aggregation key ("auto" probes each key's skew,
+    an int forces that salt count, None disables)."""
+    if max_iter < 1:
+        raise ValueError("hits: max_iter must be >= 1")
+    spark = edges.sparkSession
+    e = canonicalize(edges) if dedup else edges.select("src", "dst")
+    verts = vertices(e).persist()
+    n = verts.count()
+    if n == 0:
+        empty = spark.createDataFrame([], "v long, hub double, auth double")
+        verts.unpersist()
+        return HITSResult(empty, 0, True)
+    if broadcast_scores is None:
+        broadcast_scores = n <= BROADCAST_SCORES_MAX_VERTICES
+
+    from graphsetintersection_spark.plans.skew import (
+        decide_hub_salting,
+        mark_hubs,
+        two_stage_agg,
+    )
+
+    # per-aggregation-key salting plans (shuffle path only — broadcast
+    # rounds aggregate on the cache's own partitioning, no skewed
+    # exchange exists to protect)
+    plan_dst = plan_src = None
+    if not broadcast_scores and salt_hubs:
+        if salt_hubs == "auto":
+            plan_dst = decide_hub_salting(e, "dst")
+            plan_src = decide_hub_salting(e, "src")
+        else:
+            s = int(salt_hubs)
+            plan_dst = decide_hub_salting(e, "dst", salts=s, force=True)
+            plan_src = decide_hub_salting(e, "src", salts=s, force=True)
+
+    # two stationary caches — one per aggregation key. Broadcast rounds
+    # aggregate ON the partitioning key (exchange-free); shuffle rounds
+    # sort-merge-join on the OPPOSITE key, so that path also pre-sorts.
+    e_dst = e
+    e_src = e
+    if plan_dst is not None:
+        e_dst = mark_hubs(e_dst, "dst", plan_dst)
+    if plan_src is not None:
+        e_src = mark_hubs(e_src, "src", plan_src)
+    if broadcast_scores:
+        e_dst = e_dst.repartition("dst").persist()
+        e_src = e_src.repartition("src").persist()
+    else:
+        e_dst = (
+            e_dst.repartition("src").sortWithinPartitions("src").persist()
+        )
+        e_src = (
+            e_src.repartition("dst").sortWithinPartitions("dst").persist()
+        )
+    e_dst.count()
+    e_src.count()
+
+    def half_step(edge_cache, scores, join_key, agg_key, plan):
+        """One aggregation half-step: Σ over incident edges of the other
+        side's score, grouped on ``agg_key``."""
+        sc = scores.withColumnRenamed("v", join_key)
+        if broadcast_scores:
+            sc = F.broadcast(sc)
+        joined = edge_cache.join(sc, join_key)
+        if plan is not None:
+            return two_stage_agg(
+                joined.withColumnRenamed(agg_key, "v"),
+                ["v"],
+                F.sum("s"),
+                F.sum,
+                salt_from=join_key,
+                salts=plan.salts,
+                out_col="s",
+            )
+        return joined.groupBy(F.col(agg_key).alias("v")).agg(
+            F.sum("s").alias("s")
+        )
+
+    hub = verts.select("v", F.lit(1.0).alias("s")).localCheckpoint(eager=True)
+    auth = None
+    converged = False
+    deltas: list[float] = []
+    it = 0
+    for it in range(max_iter):
+        auth_new = _l2_normalized(
+            half_step(e_dst, hub, "src", "dst", plan_dst), verts
+        ).localCheckpoint(eager=True)
+        hub_new = _l2_normalized(
+            half_step(e_src, auth_new, "dst", "src", plan_src), verts
+        ).localCheckpoint(eager=True)
+
+        delta = None
+        if tol is not None:
+            delta = (
+                hub_new.withColumnRenamed("s", "ns")
+                .join(hub, "v")
+                .agg(F.max(F.abs(F.col("ns") - F.col("s"))))
+                .collect()[0][0]
+            )
+            deltas.append(float(delta))
+
+        hub.unpersist()
+        if auth is not None:
+            auth.unpersist()
+        hub, auth = hub_new, auth_new
+        if tol is not None and delta is not None and delta < tol:
+            converged = True
+            it += 1
+            break
+    else:
+        it = max_iter
+
+    scores = (
+        verts.join(hub.withColumnRenamed("s", "hub"), "v")
+        .join(auth.withColumnRenamed("s", "auth"), "v")
+        .select("v", "hub", "auth")
+        .localCheckpoint(eager=True)
+    )
+    hub.unpersist()
+    if auth is not None:
+        auth.unpersist()
+    verts.unpersist()
+    e_dst.unpersist()
+    e_src.unpersist()
+    return HITSResult(scores, it, converged, deltas)
