@@ -174,14 +174,10 @@ def _q_personalized_pagerank(spark, sf_dir):
         personalized_pagerank,
     )
 
+    from graphsetintersection_spark.operators.edges import vertices
+
     g = _lgraph(spark, sf_dir)
-    seeds = (
-        g.select(F.col("src").alias("v"))
-        .union(g.select(F.col("dst").alias("v")))
-        .distinct()
-        .orderBy("v")
-        .limit(PPR_SEEDS)
-    )
+    seeds = vertices(g).orderBy("v").limit(PPR_SEEDS)
     res = personalized_pagerank(
         g, seeds, alpha=PR_ALPHA, max_iter=PR_ITERS, tol=None
     )

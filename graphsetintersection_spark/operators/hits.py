@@ -37,8 +37,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphsetintersection_spark.operators.edges import canonicalize, vertices
-
-BROADCAST_SCORES_MAX_VERTICES = 10_000_000
+from graphsetintersection_spark.operators.iterative import (
+    BROADCAST_STATE_MAX_VERTICES,
+)
 
 
 @dataclass
@@ -50,19 +51,32 @@ class HITSResult:
 
 
 def _l2_normalized(raw: DataFrame, verts: DataFrame) -> DataFrame:
-    """Full-vertex score vector from a sparse aggregation result: missing
-    vertices get 0, then the whole vector divides by its L2 norm (zeros
-    contribute nothing, so the norm over the sparse frame equals the norm
-    over the full vector — one small aggregate, broadcast as one row)."""
-    nm = raw.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("_nm"))
-    return (
-        verts.join(raw, "v", "left")
-        .crossJoin(F.broadcast(nm))
-        .select(
-            "v",
-            (F.coalesce(F.col("s"), F.lit(0.0)) / F.col("_nm")).alias("s"),
+    """Full-vertex score vector from a sparse aggregation result,
+    MATERIALIZED (eager localCheckpoint): missing vertices get 0, then the
+    whole vector divides by its L2 norm (zeros contribute nothing, so the
+    norm over the sparse frame equals the norm over the full vector — one
+    small aggregate, broadcast as one row). ``raw`` is persisted
+    transiently because the plan references it twice (the norm aggregate
+    and the vector itself) and Spark does not dedupe common subtrees — an
+    uncached half-step aggregation would execute twice (the same reason
+    pagerank's per-round contribs are transiently cached); the cache is
+    released once the checkpoint holds the result."""
+    raw = raw.persist()
+    try:
+        nm = raw.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("_nm"))
+        return (
+            verts.join(raw, "v", "left")
+            .crossJoin(F.broadcast(nm))
+            .select(
+                "v",
+                (F.coalesce(F.col("s"), F.lit(0.0)) / F.col("_nm")).alias(
+                    "s"
+                ),
+            )
+            .localCheckpoint(eager=True)
         )
-    )
+    finally:
+        raw.unpersist()
 
 
 def hits(
@@ -92,7 +106,7 @@ def hits(
         verts.unpersist()
         return HITSResult(empty, 0, True)
     if broadcast_scores is None:
-        broadcast_scores = n <= BROADCAST_SCORES_MAX_VERTICES
+        broadcast_scores = n <= BROADCAST_STATE_MAX_VERTICES
 
     from graphsetintersection_spark.plans.skew import (
         decide_hub_salting,
@@ -156,50 +170,59 @@ def hits(
             F.sum("s").alias("s")
         )
 
-    hub = verts.select("v", F.lit(1.0).alias("s")).localCheckpoint(eager=True)
-    auth = None
     converged = False
     deltas: list[float] = []
     it = 0
-    for it in range(max_iter):
-        auth_new = _l2_normalized(
-            half_step(e_dst, hub, "src", "dst", plan_dst), verts
-        ).localCheckpoint(eager=True)
-        hub_new = _l2_normalized(
-            half_step(e_src, auth_new, "dst", "src", plan_src), verts
-        ).localCheckpoint(eager=True)
-
-        delta = None
-        if tol is not None:
-            delta = (
-                hub_new.withColumnRenamed("s", "ns")
-                .join(hub, "v")
-                .agg(F.max(F.abs(F.col("ns") - F.col("s"))))
-                .collect()[0][0]
+    # try/finally: an exception anywhere in the rounds must not leave the
+    # two edge caches (multi-GB at corpus scale) or the vertex cache
+    # registered for the session lifetime; blocking drops, because a
+    # back-to-back rerun (bench repeats, retries) would otherwise build
+    # its caches while these blocks are still being released
+    # (PreparedDFGraph.unpersist documents the same hazard).
+    try:
+        hub = verts.select("v", F.lit(1.0).alias("s")).localCheckpoint(
+            eager=True
+        )
+        auth = None
+        for it in range(max_iter):
+            auth_new = _l2_normalized(
+                half_step(e_dst, hub, "src", "dst", plan_dst), verts
             )
-            deltas.append(float(delta))
+            hub_new = _l2_normalized(
+                half_step(e_src, auth_new, "dst", "src", plan_src), verts
+            )
 
+            delta = None
+            if tol is not None:
+                delta = (
+                    hub_new.withColumnRenamed("s", "ns")
+                    .join(hub, "v")
+                    .agg(F.max(F.abs(F.col("ns") - F.col("s"))))
+                    .collect()[0][0]
+                )
+                deltas.append(float(delta))
+
+            hub.unpersist()
+            if auth is not None:
+                auth.unpersist()
+            hub, auth = hub_new, auth_new
+            if tol is not None and delta is not None and delta < tol:
+                converged = True
+                it += 1
+                break
+        else:
+            it = max_iter
+
+        scores = (
+            verts.join(hub.withColumnRenamed("s", "hub"), "v")
+            .join(auth.withColumnRenamed("s", "auth"), "v")
+            .select("v", "hub", "auth")
+            .localCheckpoint(eager=True)
+        )
         hub.unpersist()
-        if auth is not None:
-            auth.unpersist()
-        hub, auth = hub_new, auth_new
-        if tol is not None and delta is not None and delta < tol:
-            converged = True
-            it += 1
-            break
-    else:
-        it = max_iter
-
-    scores = (
-        verts.join(hub.withColumnRenamed("s", "hub"), "v")
-        .join(auth.withColumnRenamed("s", "auth"), "v")
-        .select("v", "hub", "auth")
-        .localCheckpoint(eager=True)
-    )
-    hub.unpersist()
-    if auth is not None:
         auth.unpersist()
-    verts.unpersist()
-    e_dst.unpersist()
-    e_src.unpersist()
-    return HITSResult(scores, it, converged, deltas)
+        return HITSResult(scores, it, converged, deltas)
+    finally:
+        verts.unpersist(blocking=True)
+        e_dst.unpersist(blocking=True)
+        e_src.unpersist(blocking=True)

@@ -131,11 +131,15 @@ def personalized_pagerank(
             F.sum("w").alias("t"), F.min("w").alias("mn")
         ).collect()[0]
         tot = float(row["t"] or 0.0)
-        if row["mn"] is not None and float(row["mn"]) < 0.0:
+        # inverted comparisons so NaN weights fail too (NaN makes every
+        # direct comparison False — a NaN total would otherwise slip past
+        # `tot <= 0` and return a silently all-NaN rank vector)
+        if row["mn"] is not None and not (float(row["mn"]) >= 0.0):
             raise ValueError(
-                "personalized_pagerank: seed weights must be non-negative"
+                "personalized_pagerank: seed weights must be non-negative "
+                "(and not NaN)"
             )
-        if tot <= 0.0:
+        if not (tot > 0.0):
             raise ValueError(
                 "personalized_pagerank: no seed vertices present in the "
                 "graph (or zero total seed weight)"

@@ -227,3 +227,12 @@ def test_ppr_weighted_seeds_and_renormalization(spark, tiny_graph):
             max_iter=2,
             weight_col="w",
         )
+    # NaN weight: every direct comparison is False, so only an inverted
+    # guard catches it — must raise, not return an all-NaN rank vector
+    with pytest.raises(ValueError, match="non-negative"):
+        personalized_pagerank(
+            df,
+            spark.createDataFrame([(a, float("nan"))], "v long, w double"),
+            max_iter=2,
+            weight_col="w",
+        )
