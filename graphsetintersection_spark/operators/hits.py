@@ -98,12 +98,20 @@ def hits(
     if max_iter < 1:
         raise ValueError("hits: max_iter must be >= 1")
     spark = edges.sparkSession
-    e = canonicalize(edges) if dedup else edges.select("src", "dst")
+    # transient cache for the SETUP phase only: the canonicalized edge
+    # frame feeds the vertex count, up to two skew probes, and both
+    # stationary cache builds — uncached that is four full scans of the
+    # raw edge table (the 100 TB input) instead of one. Released once
+    # the two per-key caches hold their own copies.
+    e = (
+        canonicalize(edges) if dedup else edges.select("src", "dst")
+    ).persist()
     verts = vertices(e).persist()
     n = verts.count()
     if n == 0:
         empty = spark.createDataFrame([], "v long, hub double, auth double")
         verts.unpersist()
+        e.unpersist()
         return HITSResult(empty, 0, True)
     if broadcast_scores is None:
         broadcast_scores = n <= BROADCAST_STATE_MAX_VERTICES
@@ -114,40 +122,11 @@ def hits(
         two_stage_agg,
     )
 
-    # per-aggregation-key salting plans (shuffle path only — broadcast
-    # rounds aggregate on the cache's own partitioning, no skewed
-    # exchange exists to protect)
-    plan_dst = plan_src = None
-    if not broadcast_scores and salt_hubs:
-        if salt_hubs == "auto":
-            plan_dst = decide_hub_salting(e, "dst")
-            plan_src = decide_hub_salting(e, "src")
-        else:
-            s = int(salt_hubs)
-            plan_dst = decide_hub_salting(e, "dst", salts=s, force=True)
-            plan_src = decide_hub_salting(e, "src", salts=s, force=True)
-
-    # two stationary caches — one per aggregation key. Broadcast rounds
-    # aggregate ON the partitioning key (exchange-free); shuffle rounds
-    # sort-merge-join on the OPPOSITE key, so that path also pre-sorts.
+    # e_dst/e_src alias the setup cache until reassigned below, so the
+    # finally at the bottom releases whatever exists at ANY failure point
+    # (repeat unpersists are idempotent no-ops)
     e_dst = e
     e_src = e
-    if plan_dst is not None:
-        e_dst = mark_hubs(e_dst, "dst", plan_dst)
-    if plan_src is not None:
-        e_src = mark_hubs(e_src, "src", plan_src)
-    if broadcast_scores:
-        e_dst = e_dst.repartition("dst").persist()
-        e_src = e_src.repartition("src").persist()
-    else:
-        e_dst = (
-            e_dst.repartition("src").sortWithinPartitions("src").persist()
-        )
-        e_src = (
-            e_src.repartition("dst").sortWithinPartitions("dst").persist()
-        )
-    e_dst.count()
-    e_src.count()
 
     def half_step(edge_cache, scores, join_key, agg_key, plan):
         """One aggregation half-step: Σ over incident edges of the other
@@ -180,6 +159,41 @@ def hits(
     # its caches while these blocks are still being released
     # (PreparedDFGraph.unpersist documents the same hazard).
     try:
+        # per-aggregation-key salting plans (shuffle path only —
+        # broadcast rounds aggregate on the cache's own partitioning, no
+        # skewed exchange exists to protect)
+        plan_dst = plan_src = None
+        if not broadcast_scores and salt_hubs:
+            if salt_hubs == "auto":
+                plan_dst = decide_hub_salting(e, "dst")
+                plan_src = decide_hub_salting(e, "src")
+            else:
+                s = int(salt_hubs)
+                plan_dst = decide_hub_salting(e, "dst", salts=s, force=True)
+                plan_src = decide_hub_salting(e, "src", salts=s, force=True)
+
+        # two stationary caches — one per aggregation key. Broadcast
+        # rounds aggregate ON the partitioning key (exchange-free);
+        # shuffle rounds sort-merge-join on the OPPOSITE key, so that
+        # path also pre-sorts.
+        if plan_dst is not None:
+            e_dst = mark_hubs(e_dst, "dst", plan_dst)
+        if plan_src is not None:
+            e_src = mark_hubs(e_src, "src", plan_src)
+        if broadcast_scores:
+            e_dst = e_dst.repartition("dst").persist()
+            e_src = e_src.repartition("src").persist()
+        else:
+            e_dst = (
+                e_dst.repartition("src").sortWithinPartitions("src").persist()
+            )
+            e_src = (
+                e_src.repartition("dst").sortWithinPartitions("dst").persist()
+            )
+        e_dst.count()
+        e_src.count()
+        e.unpersist()  # the per-key caches are self-contained from here
+
         hub = verts.select("v", F.lit(1.0).alias("s")).localCheckpoint(
             eager=True
         )
@@ -224,5 +238,6 @@ def hits(
         return HITSResult(scores, it, converged, deltas)
     finally:
         verts.unpersist(blocking=True)
+        e.unpersist()
         e_dst.unpersist(blocking=True)
         e_src.unpersist(blocking=True)
