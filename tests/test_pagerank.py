@@ -236,3 +236,20 @@ def test_ppr_weighted_seeds_and_renormalization(spark, tiny_graph):
             max_iter=2,
             weight_col="w",
         )
+
+
+def test_ppr_shuffle_salted_path_parity(spark, tiny_graph):
+    """The teleport vector must behave identically on the shuffle+salt
+    round shape (the at-scale path) as on the broadcast default."""
+    from graphsetintersection_spark.operators.pagerank import (
+        personalized_pagerank,
+    )
+
+    pairs, df = tiny_graph
+    seeds_list = sorted({x for e in pairs for x in e})[:3]
+    seeds = spark.createDataFrame([(s,) for s in seeds_list], "v long")
+    res = personalized_pagerank(
+        df, seeds, max_iter=20, tol=None,
+        broadcast_ranks=False, salt_hubs=4,
+    )
+    _assert_allclose(res.ranks, numpy_ppr(pairs, seeds_list, iters=20))
