@@ -327,9 +327,10 @@ def _q_stream_neardup(spark, sf_dir):
     — the same stream/batch-agnostic plan Structured Streaming runs per
     micro-batch (streaming parity is pytest-pinned; a DuckDB gate cannot
     execute a stream). High-recall regime (bands=num_perm=256: candidate
-    iff ANY slot agrees, miss prob (1-j)^256) + exact string-shingle
-    verify, so the output provably equals the exact cross-set Jaccard
-    pair set and the brute-force SQL oracle applies verbatim."""
+    iff ANY slot agrees, per-pair miss prob (1-j)^256 — < 1e-24 at the
+    gate's j ≥ 0.2, negligible) + exact string-shingle verify, so the
+    output equals the exact cross-set Jaccard pair set up to that
+    vanishing miss probability and the brute-force SQL oracle applies."""
     from graphsetintersection_spark.streaming.dedup import (
         batch_minhash_neardup,
         minhash_band_index,
@@ -338,7 +339,12 @@ def _q_stream_neardup(spark, sf_dir):
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < NGRAM_DOCS)
     historical = docs.where(F.col("doc_id") < STREAM_DEDUP_SPLIT)
     incoming = docs.where(F.col("doc_id") >= STREAM_DEDUP_SPLIT)
-    index = minhash_band_index(historical, num_perm=256, bands=256)
+    # materialize the index once (localCheckpoint: self-contained, blocks
+    # GC-released with the frame): the validate aggregate and the band
+    # join would otherwise each run the full historical signature kernel
+    index = minhash_band_index(
+        historical, num_perm=256, bands=256
+    ).localCheckpoint(eager=True)
     return batch_minhash_neardup(
         incoming, index, num_perm=256, bands=256,
         threshold=NGRAM_THRESHOLD, exact_verify_docs=docs,

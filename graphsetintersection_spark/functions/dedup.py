@@ -449,6 +449,24 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(
         docs, num_perm, n, id_col, text_col, method=sig_method
     ).persist()
+    # try/finally from the persist onward: an exception while BUILDING the
+    # banded join or the prefilter joins (before _materialized or the
+    # verify's own try/finally runs) must not leak the signature cache for
+    # the session — the CacheManager-leak class _materialized exists to
+    # eliminate (unpersist is idempotent, so the early releases stay)
+    try:
+        return _minhash_lsh_pairs_body(
+            docs, sigs, num_perm, bands, n, threshold, id_col, text_col,
+            verify, verify_hashed, verify_mode, est_prefilter_sigmas,
+        )
+    finally:
+        sigs.unpersist()
+
+
+def _minhash_lsh_pairs_body(
+    docs, sigs, num_perm, bands, n, threshold, id_col, text_col,
+    verify, verify_hashed, verify_mode, est_prefilter_sigmas,
+):
     banded = banded_rows(sigs, num_perm, bands)
     a = banded.select(F.col("doc_id").alias("id_a"), "band", "bucket")
     b = banded.select(F.col("doc_id").alias("id_b"), "band", "bucket")

@@ -349,7 +349,10 @@ def ivf_train(
     (corpus, seed): init picks ``n_cells`` spread rows from the seeded
     RNG over the sample."""
     n = vecs.count()
-    d = max(1, n // max(1, sample_cap))
+    # ceiling division: floor made the driver collect bounded only by
+    # ~2×sample_cap (and collected the ENTIRE table for n < 2·sample_cap);
+    # with the ceiling the expected sample never exceeds sample_cap
+    d = max(1, -(-n // max(1, sample_cap)))
     sample = (
         vecs.where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(d)) == 0)
         .select(id_col, vec_col)

@@ -160,8 +160,10 @@ def personalized_pagerank(
 
 @dataclass
 class PreparedDFGraph:
-    """Stationary state for the DataFrame power iteration: vertex set,
-    vertex count, the degree-annotated edge cache, and the join strategy."""
+    """Stationary state for the DataFrame power iteration: vertex set
+    (``verts`` carries a ``_dang`` no-out-edges flag — the per-iteration
+    dangling-mass aggregate filters on it), vertex count, the
+    degree-annotated edge cache, and the join strategy."""
 
     verts: DataFrame
     n: int
@@ -187,14 +189,41 @@ def pagerank_df_prepare(
     and cached. Separated from the loop so repeated runs (and the scaling
     bench) pay it once per graph — the analog of the reference's printed
     index-build phase (src/tc.cpp:28-29)."""
-    e = canonicalize(edges) if dedup else edges.select("src", "dst")
+    # transient cache for the SETUP phase only: the canonicalized frame
+    # feeds the vertex set, the out-degree aggregate and the e_deg build —
+    # uncached, that is three full scans of the raw edge input (guide §2.4:
+    # the 100 TB scan is the cost; locally it re-ran the lineitem distinct
+    # per pass). Released once e_deg holds its own copy.
+    e = (canonicalize(edges) if dedup else edges.select("src", "dst")).persist()
 
-    verts = vertices(e).persist()
-    n = verts.count()
-
+    # V-row transient cache: the out-degree aggregate feeds both the
+    # dangling-flagged vertex set and the e_deg join — computed once
     out_deg = e.groupBy(F.col("src").alias("v")).agg(
         F.count("*").alias("out_deg")
+    ).persist()
+    try:
+        return _pagerank_df_prepare_body(
+            e, out_deg, broadcast_ranks, salt_hubs
+        )
+    finally:
+        # the setup caches must not outlive this call on ANY exit path
+        # (unpersist is idempotent)
+        e.unpersist()
+        out_deg.unpersist()
+
+
+def _pagerank_df_prepare_body(e, out_deg, broadcast_ranks, salt_hubs):
+    # vertex set annotated with the dangling flag (no out-edges): the
+    # iteration's dangling-mass term D = Σ_{dang} rank is then one
+    # filter-aggregate over the rank leaf — no per-iteration join against
+    # a dangling-vertex table and no Σcontrib second pass (guide §2.4)
+    verts = (
+        vertices(e)
+        .join(out_deg, "v", "left")
+        .select("v", F.col("out_deg").isNull().alias("_dang"))
+        .persist()
     )
+    n = verts.count()
     # ranks-side join strategy: while the rank vector fits comfortably in
     # executor memory it is BROADCAST each iteration and the edge table is
     # hash-partitioned by dst — then the contribution aggregation needs NO
@@ -227,7 +256,25 @@ def pagerank_df_prepare(
     if plan is not None:
         e_deg = mark_hubs(e_deg, "dst", plan)
     if broadcast_ranks:
-        e_deg = e_deg.repartition("dst")
+        # broadcast path: append one synthetic (v, v, out_deg=null) row per
+        # vertex, carrying the vertex's dangling flag. The per-iteration
+        # dst aggregation then emits a row for EVERY vertex (the self row's
+        # rank/null term is null — skipped by sum — and max(_dang) reads
+        # the flag off the single self row), so the per-iteration
+        # verts ⟕ contribs finalize join disappears and the round is
+        # join-broadcast → one exchange-free aggregation → project
+        # (guide §2.4). The shuffle path keeps the proven salted round
+        # shape unchanged and skips the extra rows.
+        e_deg = e_deg.withColumn(
+            "_dang", F.lit(None).cast("boolean")
+        ).unionByName(
+            verts.select(
+                F.col("v").alias("src"),
+                F.col("v").alias("dst"),
+                F.lit(None).cast("long").alias("out_deg"),
+                "_dang",
+            )
+        ).repartition("dst")
     else:
         # shuffle path: cache hash(src)-partitioned AND src-sorted so the
         # per-iteration sort-merge join sorts only the (small) rank side —
@@ -279,12 +326,19 @@ def pagerank_df_iterate(
     if teleport is not None:
         ranks = vp.select("v", F.col("p").alias("rank"))
     else:
-        ranks = verts.select("v", F.lit(1.0 / n).alias("rank"))
+        cols = ["v", F.lit(1.0 / n).alias("rank")]
+        ranks = verts.select(*cols, "_dang") if broadcast_ranks else verts.select(*cols)
     if checkpointer is not None:
         restored = checkpointer.restore(spark)
         if restored is not None:
             start_iter, ranks = restored
             start_iter += 1
+    if broadcast_ranks and "_dang" not in ranks.columns:
+        # the broadcast round carries the dangling flag ON the rank vector
+        # (one boolean per row) so the per-iteration dangling-mass
+        # aggregate needs no join; attach it once (initial vector, restored
+        # checkpoints, and teleport vectors all start without it)
+        ranks = ranks.join(verts, "v").select("v", "rank", "_dang")
 
     # Per round: the contribution vector is cached transiently (one
     # execution feeds both the Σcontrib scalar and the new rank view), the
@@ -298,66 +352,120 @@ def pagerank_df_iterate(
     it = start_iter
     prev_snapshot: DataFrame | None = None  # superseded localCheckpoint
     for it in range(start_iter, max_iter):
-        ranks_src = ranks.withColumnRenamed("v", "src")
         if broadcast_ranks:
-            ranks_src = F.broadcast(ranks_src)
-        joined = e_deg.join(ranks_src, "src")
-        term = F.col("rank") / F.col("out_deg")
-        if salt_s:
-            # two-stage salted aggregation (plans.skew.two_stage_agg): hub
-            # dst rows split across salt_s sub-keys (deterministic salt
-            # from src) so the first shuffle spreads each hub over S
-            # reducers; the second stage sums at most S rows per hub.
-            from graphsetintersection_spark.plans.skew import two_stage_agg
-
-            contribs = two_stage_agg(
-                joined.withColumnRenamed("dst", "v"),
-                ["v"],
-                F.sum(term),
-                F.sum,
-                salt_from="src",
-                salts=salt_s,
-                out_col="contrib",
-            ).persist()
-        else:
+            # OPTIMIZED BROADCAST ROUND (guide §2.4 — remove shuffles and
+            # passes outright). The self rows in e_deg make the dst
+            # aggregation total (one row per vertex; the self row's
+            # rank/null term is skipped by sum, and it carries nothing
+            # else), so no verts ⟕ contribs finalize join. The dangling
+            # mass D = Σ_{outdeg=0} rank — the oracle's own form — is one
+            # filter-aggregate over the previous rank leaf folded in as a
+            # 1-row broadcast, so contribs is referenced exactly ONCE: no
+            # per-iteration transient cache, no Σcontrib second pass.
+            # (Previously: contribs.persist + Σcontrib aggregate + vp left
+            # join + unpersist — 2 extra passes and cache churn per round.)
+            ranks_src = F.broadcast(
+                ranks.select(F.col("v").alias("src"), "rank")
+            )
             contribs = (
-                joined.groupBy(F.col("dst").alias("v"))
-                .agg(F.sum(term).alias("contrib"))
-                .persist()
-            )
-        # dangling mass D = 1 − Σcontribs folded into the plan as a 1-row
-        # broadcast over the SAME transient cache — no extra driver action;
-        # the single materialization below executes contribs exactly once
-        tot_df = contribs.agg(
-            F.coalesce(F.sum("contrib"), F.lit(0.0)).alias("_tot")
-        )
-        if teleport is not None:
-            restart = (
-                F.lit(1.0 - alpha) * F.col("p")
-                + F.lit(alpha)
-                * (
-                    F.coalesce(F.col("contrib"), F.lit(0.0))
-                    + (F.lit(1.0) - F.col("_tot")) * F.col("p")
+                e_deg.join(ranks_src, "src")
+                .groupBy(F.col("dst").alias("v"))
+                .agg(
+                    F.sum(F.col("rank") / F.col("out_deg")).alias("contrib"),
+                    # exactly one self row per group carries the flag;
+                    # real rows carry null, which max ignores
+                    F.max("_dang").alias("_dang"),
                 )
             )
+            dm_df = ranks.where(F.col("_dang")).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
+            )
+            if teleport is not None:
+                restart = (
+                    F.lit(1.0 - alpha) * F.col("p")
+                    + F.lit(alpha)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("_dm") * F.col("p")
+                    )
+                )
+                body = contribs.join(F.broadcast(vp), "v")
+            else:
+                restart = (
+                    F.lit((1.0 - alpha) / n)
+                    + F.lit(alpha)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("_dm") / F.lit(float(n))
+                    )
+                )
+                body = contribs
+            new_ranks = (
+                body.crossJoin(F.broadcast(dm_df))
+                .select("v", restart.alias("rank"), "_dang")
+            )
+            contribs_cache = None
         else:
-            # kept byte-for-byte as the uniform formula (not folded into
-            # the teleport expression with p = 1/n): the gate hashes
-            # rank_ppm against a DuckDB oracle, and a different float
-            # association could flip a .5-boundary rounding
-            restart = (
-                F.lit((1.0 - alpha) / n)
-                + F.lit(alpha)
-                * (
-                    F.coalesce(F.col("contrib"), F.lit(0.0))
-                    + (F.lit(1.0) - F.col("_tot")) / F.lit(float(n))
+            ranks_src = ranks.withColumnRenamed("v", "src")
+            joined = e_deg.join(ranks_src, "src")
+            term = F.col("rank") / F.col("out_deg")
+            if salt_s:
+                # two-stage salted aggregation (plans.skew.two_stage_agg):
+                # hub dst rows split across salt_s sub-keys (deterministic
+                # salt from src) so the first shuffle spreads each hub over
+                # S reducers; the second stage sums at most S rows per hub.
+                from graphsetintersection_spark.plans.skew import two_stage_agg
+
+                contribs = two_stage_agg(
+                    joined.withColumnRenamed("dst", "v"),
+                    ["v"],
+                    F.sum(term),
+                    F.sum,
+                    salt_from="src",
+                    salts=salt_s,
+                    out_col="contrib",
+                ).persist()
+            else:
+                contribs = (
+                    joined.groupBy(F.col("dst").alias("v"))
+                    .agg(F.sum(term).alias("contrib"))
+                    .persist()
                 )
+            contribs_cache = contribs
+            # dangling mass D = 1 − Σcontribs folded into the plan as a
+            # 1-row broadcast over the SAME transient cache — no extra
+            # driver action; the single materialization below executes
+            # contribs exactly once
+            tot_df = contribs.agg(
+                F.coalesce(F.sum("contrib"), F.lit(0.0)).alias("_tot")
             )
-        new_ranks = (
-            vp.join(contribs, "v", "left")
-            .crossJoin(F.broadcast(tot_df))
-            .select("v", restart.alias("rank"))
-        )
+            if teleport is not None:
+                restart = (
+                    F.lit(1.0 - alpha) * F.col("p")
+                    + F.lit(alpha)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + (F.lit(1.0) - F.col("_tot")) * F.col("p")
+                    )
+                )
+            else:
+                # kept byte-for-byte as the uniform formula (not folded
+                # into the teleport expression with p = 1/n): the gate
+                # hashes rank_ppm against a DuckDB oracle, and a different
+                # float association could flip a .5-boundary rounding
+                restart = (
+                    F.lit((1.0 - alpha) / n)
+                    + F.lit(alpha)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + (F.lit(1.0) - F.col("_tot")) / F.lit(float(n))
+                    )
+                )
+            new_ranks = (
+                vp.join(contribs, "v", "left")
+                .crossJoin(F.broadcast(tot_df))
+                .select("v", restart.alias("rank"))
+            )
 
         # materialize + TRUNCATE lineage every iteration: localCheckpoint
         # (or the durable snapshot commit) replaces the logical plan with a
@@ -395,7 +503,8 @@ def pagerank_df_iterate(
         # sparse checkpoints — checkpoint_every > 1 would otherwise leak a
         # localCheckpoint per skipped commit); unpersist on a durable
         # commit's read-back frame is a harmless no-op.
-        contribs.unpersist()
+        if contribs_cache is not None:
+            contribs_cache.unpersist()
         if prev_snapshot is not None:
             prev_snapshot.unpersist()
         prev_snapshot = new_ranks
@@ -407,7 +516,9 @@ def pagerank_df_iterate(
     else:
         it = max_iter
 
-    return PageRankResult(ranks, it, converged, deltas)
+    # the broadcast rounds carry the internal _dang flag on the rank
+    # vector; the public result is (v, rank)
+    return PageRankResult(ranks.select("v", "rank"), it, converged, deltas)
 
 
 @dataclass

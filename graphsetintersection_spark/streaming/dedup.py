@@ -216,10 +216,13 @@ def batch_minhash_neardup(
     holding every candidate document's text; candidates then carry EXACT
     n-gram Jaccard instead of the MinHash estimate, thresholded on that.
     In the high-recall regime (bands == num_perm) a pair is a candidate
-    if ANY signature slot agrees — miss probability (1-j)^num_perm, so
-    at num_perm=256, j ≥ 0.5 the output provably equals the exact
-    cross-set Jaccard pair set (the correctness gate's regime; the
-    estimate path is the production/streaming regime)."""
+    if ANY signature slot agrees, so the output equals the exact
+    cross-set Jaccard pair set up to a (1-j)^num_perm per-pair miss
+    probability — negligible at the gate parameters (num_perm=256,
+    j ≥ 0.2: < 1e-24), which is why the gate's brute-force oracle
+    applies, but a probabilistic bound rather than a set-equality proof
+    (the correctness gate's regime; the estimate path is the
+    production/streaming regime)."""
     if exact_verify_docs is None:
         return stream_minhash_neardup(
             docs, index, num_perm, bands, n, threshold, id_col, text_col
