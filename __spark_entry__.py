@@ -176,7 +176,10 @@ def _q_personalized_pagerank(spark, sf_dir):
 
     from graphsetintersection_spark.operators.edges import vertices
 
-    g = _lgraph(spark, sf_dir)
+    # materialize the derived graph once: the seed scan and the PageRank
+    # prepare otherwise each re-run the lineitem distinct (localCheckpoint
+    # blocks are GC-released with the frame)
+    g = _lgraph(spark, sf_dir).localCheckpoint(eager=True)
     seeds = vertices(g).orderBy("v").limit(PPR_SEEDS)
     res = personalized_pagerank(
         g, seeds, alpha=PR_ALPHA, max_iter=PR_ITERS, tol=None

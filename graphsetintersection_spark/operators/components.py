@@ -163,7 +163,14 @@ def connected_components_minlabel(
 
 def _large_star(pairs: DataFrame) -> DataFrame:
     """For each node u (over symmetric pairs), connect every strictly-larger
-    neighbor to m = min(N(u) ∪ {u})."""
+    neighbor to m = min(N(u) ∪ {u}).
+
+    The output is NOT deduplicated: the consumer (small-star, whose round
+    output ends in a distinct anyway) is duplicate-insensitive — its
+    groupBy-min ignores duplicates and its final distinct collapses them —
+    so the intermediate exchange a distinct would cost here buys nothing
+    (guide §2.4: a distinct on data whose consumer dedupes is an
+    accidental shuffle)."""
     m = pairs.groupBy("u").agg(
         F.least(F.min("w"), F.first("u")).alias("m")
     )
@@ -171,7 +178,6 @@ def _large_star(pairs: DataFrame) -> DataFrame:
         pairs.join(m, "u")
         .where(F.col("w") > F.col("u"))
         .select(F.col("w").alias("u"), F.col("m").alias("w"))
-        .distinct()
     )
 
 
@@ -199,19 +205,30 @@ def connected_components_starcontraction(
     star forest; then component(v) = its root, roots map to themselves."""
     spark = edges.sparkSession
     e = canonicalize(edges)
-    # symmetric neighbor pairs (u, w)
-    pairs = (
-        e.select(F.col("src").alias("u"), F.col("dst").alias("w"))
-        .union(e.select(F.col("dst").alias("u"), F.col("src").alias("w")))
-        .distinct()
-    )
 
     start = 0
+    pairs = None
+    verts = None
     if checkpointer is not None:
         restored = checkpointer.restore(spark)
         if restored is not None:
             start, pairs = restored
             start += 1
+    if pairs is None:
+        # symmetric neighbor pairs (u, w), materialized ONCE (eager
+        # localCheckpoint): round 0 references this frame four times
+        # (groupBy-min + join in each star) and the convergence signature
+        # once more — unchecked, each reference re-ran the full edges
+        # scan + union + distinct (guide §2.4). The leaf also serves as
+        # the original vertex set for the final compose, replacing a
+        # fresh vertices(e) scan.
+        pairs = (
+            e.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+            .union(e.select(F.col("dst").alias("u"), F.col("src").alias("w")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        verts = pairs.select(F.col("u").alias("v")).distinct()
 
     converged = False
     rounds = start
@@ -239,19 +256,24 @@ def connected_components_starcontraction(
             )
         ls = _large_star(sym)
         ss = _small_star(ls)
-        staged = ss.persist()
-        sig_new = content_signature(staged, "u", "w")
-        delta = 0 if sig_new == sig_old else max(abs(sig_new[0] - sig_old[0]), 1)
-        sig_old = sig_new
+        # materialize ONCE (the round's only copy), then run the
+        # convergence signature as one cheap aggregate over the cached
+        # leaf — the previous shape staged a persist AND a localCheckpoint
+        # (two full copies of the pairs frame per round) just to feed the
+        # same aggregate
         if checkpointer is not None:
+            staged = ss.persist()
+            sig_new = content_signature(staged, "u", "w")
+            delta = 0 if sig_new == sig_old else max(abs(sig_new[0] - sig_old[0]), 1)
             new_pairs = checkpointer.commit(
                 staged, rounds, metrics={"delta_edges": int(delta)}
             )
+            staged.unpersist()
         else:
-            new_pairs = staged.localCheckpoint(eager=True)
-        # the staging persist and the previous round's snapshot are both
-        # superseded once new_pairs is materialized
-        staged.unpersist()
+            new_pairs = ss.localCheckpoint(eager=True)
+            sig_new = content_signature(new_pairs, "u", "w")
+            delta = 0 if sig_new == sig_old else max(abs(sig_new[0] - sig_old[0]), 1)
+        sig_old = sig_new
         if prev_snapshot is not None:
             prev_snapshot.unpersist()
         prev_snapshot = new_pairs if checkpointer is None else None
@@ -265,7 +287,8 @@ def connected_components_starcontraction(
 
     # pairs is now a star forest: (child, root). Roots self-map; isolated-in
     # -graph vertices (none after canonicalize) and singleton roots included
-    verts = vertices(e)
+    if verts is None:  # checkpoint-restored run — original leaf unavailable
+        verts = vertices(e)
     comp = verts.join(
         pairs.select(F.col("u").alias("v"), F.col("w").alias("parent")),
         "v",

@@ -50,6 +50,21 @@ class HITSResult:
     deltas: list = field(default_factory=list)
 
 
+def _l2_view(raw_cp: DataFrame) -> DataFrame:
+    """L2-normalized VIEW over a materialized total score vector (one row
+    per vertex, null s = no incident edges): the norm is a 1-row broadcast
+    folded into a lazy projection over the leaf — no separate
+    materialization per half-step. Consumers (the next half-step's
+    broadcast build, the delta aggregate, the final scores join) re-run
+    only this cheap projection against the cached leaf. Zeros/nulls
+    contribute nothing to the norm, so the null-skipping aggregate equals
+    the full-vector L2 norm."""
+    nm = raw_cp.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("_nm"))
+    return raw_cp.crossJoin(F.broadcast(nm)).select(
+        "v", (F.coalesce(F.col("s"), F.lit(0.0)) / F.col("_nm")).alias("s")
+    )
+
+
 def _l2_normalized(raw: DataFrame, verts: DataFrame) -> DataFrame:
     """Full-vertex score vector from a sparse aggregation result,
     MATERIALIZED (eager localCheckpoint): missing vertices get 0, then the
@@ -115,6 +130,11 @@ def hits(
         return HITSResult(empty, 0, True)
     if broadcast_scores is None:
         broadcast_scores = n <= BROADCAST_STATE_MAX_VERTICES
+    # the self-row total-aggregation round shape relies on src != dst
+    # identifying the synthetic rows, which canonicalize guarantees by
+    # dropping real self loops; with dedup=False a real self loop must
+    # keep contributing, so that case stays on the legacy round shape
+    total_agg = broadcast_scores and dedup
 
     from graphsetintersection_spark.plans.skew import (
         decide_hub_salting,
@@ -130,7 +150,11 @@ def hits(
 
     def half_step(edge_cache, scores, join_key, agg_key, plan):
         """One aggregation half-step: Σ over incident edges of the other
-        side's score, grouped on ``agg_key``."""
+        side's score, grouped on ``agg_key``. On the broadcast path the
+        cache carries synthetic (v, v) self rows (real self loops were
+        dropped by canonicalize), so the aggregation emits one row per
+        vertex — the self row's score is excluded by the src ≠ dst guard
+        and null-skipping sum."""
         sc = scores.withColumnRenamed("v", join_key)
         if broadcast_scores:
             sc = F.broadcast(sc)
@@ -145,8 +169,13 @@ def hits(
                 salts=plan.salts,
                 out_col="s",
             )
+        term = (
+            F.when(F.col("src") != F.col("dst"), F.col("s"))
+            if total_agg
+            else F.col("s")
+        )
         return joined.groupBy(F.col(agg_key).alias("v")).agg(
-            F.sum("s").alias("s")
+            F.sum(term).alias("s")
         )
 
     converged = False
@@ -181,6 +210,16 @@ def hits(
         if plan_src is not None:
             e_src = mark_hubs(e_src, "src", plan_src)
         if broadcast_scores:
+            if total_agg:
+                # synthetic self rows → total (one-row-per-vertex)
+                # half-step aggregations: no verts ⟕ raw finalize join and
+                # no separate normalized-vector materialization per
+                # half-step (guide §2.4)
+                self_rows = verts.select(
+                    F.col("v").alias("src"), F.col("v").alias("dst")
+                )
+                e_dst = e_dst.unionByName(self_rows)
+                e_src = e_src.unionByName(self_rows)
             e_dst = e_dst.repartition("dst").persist()
             e_src = e_src.repartition("src").persist()
         else:
@@ -198,13 +237,36 @@ def hits(
             eager=True
         )
         auth = None
+        # leaves whose blocks the CURRENT hub/auth views still read; they
+        # are released only after the next iteration's leaves (and the
+        # delta aggregate) have consumed them
+        live_leaves: list[DataFrame] = [hub]
         for it in range(max_iter):
-            auth_new = _l2_normalized(
-                half_step(e_dst, hub, "src", "dst", plan_dst), verts
-            )
-            hub_new = _l2_normalized(
-                half_step(e_src, auth_new, "dst", "src", plan_src), verts
-            )
+            if total_agg:
+                # OPTIMIZED BROADCAST ROUND: each half-step materializes
+                # only the RAW total vector (one localCheckpoint); the
+                # L2-normalized form is a lazy projection over that leaf
+                # with the norm folded in as a 1-row broadcast (_l2_view).
+                # Per iteration: 2 checkpoint jobs instead of 2 transient
+                # persists + 2 checkpointed normalize passes + 2 verts
+                # finalize joins.
+                a_raw = half_step(
+                    e_dst, hub, "src", "dst", plan_dst
+                ).localCheckpoint(eager=True)
+                auth_new = _l2_view(a_raw)
+                h_raw = half_step(
+                    e_src, auth_new, "dst", "src", plan_src
+                ).localCheckpoint(eager=True)
+                hub_new = _l2_view(h_raw)
+                new_leaves = [a_raw, h_raw]
+            else:
+                auth_new = _l2_normalized(
+                    half_step(e_dst, hub, "src", "dst", plan_dst), verts
+                )
+                hub_new = _l2_normalized(
+                    half_step(e_src, auth_new, "dst", "src", plan_src), verts
+                )
+                new_leaves = [auth_new, hub_new]
 
             delta = None
             if tol is not None:
@@ -216,9 +278,9 @@ def hits(
                 )
                 deltas.append(float(delta))
 
-            hub.unpersist()
-            if auth is not None:
-                auth.unpersist()
+            for leaf in live_leaves:
+                leaf.unpersist()
+            live_leaves = new_leaves
             hub, auth = hub_new, auth_new
             if tol is not None and delta is not None and delta < tol:
                 converged = True
@@ -227,14 +289,23 @@ def hits(
         else:
             it = max_iter
 
-        scores = (
-            verts.join(hub.withColumnRenamed("s", "hub"), "v")
-            .join(auth.withColumnRenamed("s", "auth"), "v")
-            .select("v", "hub", "auth")
-            .localCheckpoint(eager=True)
-        )
-        hub.unpersist()
-        auth.unpersist()
+        if total_agg:
+            # both views are total (one row per vertex, same vertex set)
+            scores = (
+                hub.withColumnRenamed("s", "hub")
+                .join(auth.withColumnRenamed("s", "auth"), "v")
+                .select("v", "hub", "auth")
+                .localCheckpoint(eager=True)
+            )
+        else:
+            scores = (
+                verts.join(hub.withColumnRenamed("s", "hub"), "v")
+                .join(auth.withColumnRenamed("s", "auth"), "v")
+                .select("v", "hub", "auth")
+                .localCheckpoint(eager=True)
+            )
+        for leaf in live_leaves:
+            leaf.unpersist()
         return HITSResult(scores, it, converged, deltas)
     finally:
         verts.unpersist(blocking=True)

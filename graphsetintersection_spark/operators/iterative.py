@@ -77,7 +77,11 @@ def prepare_undirected(
 
     # the partition key depends on the strategy, which depends on n — so
     # the vertex set (same either way) is counted first, off the cheap
-    # canonical view, and the big frame is built ONCE with the right key
+    # canonical view, and the big frame is built ONCE with the right key.
+    # (r6 note: transiently persisting the cast/filtered frame here to
+    # save the repeated input-plan scans was MEASURED SLOWER end-to-end —
+    # the cache materialization barrier cost more than the parallel
+    # re-scans it saved — so the uncached shape stands.)
     verts = vertices(canonicalize(edges)).persist()
     n = verts.count()
     if broadcast_labels is None:

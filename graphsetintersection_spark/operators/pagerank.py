@@ -324,7 +324,13 @@ def pagerank_df_iterate(
 
     start_iter = 0
     if teleport is not None:
-        ranks = vp.select("v", F.col("p").alias("rank"))
+        # the broadcast round also carries p ON the rank vector so the
+        # per-iteration restart needs no vp join (the self rows surface
+        # p(dst) through the aggregation)
+        if broadcast_ranks:
+            ranks = vp.select("v", F.col("p").alias("rank"), "p")
+        else:
+            ranks = vp.select("v", F.col("p").alias("rank"))
     else:
         cols = ["v", F.lit(1.0 / n).alias("rank")]
         ranks = verts.select(*cols, "_dang") if broadcast_ranks else verts.select(*cols)
@@ -336,9 +342,17 @@ def pagerank_df_iterate(
     if broadcast_ranks and "_dang" not in ranks.columns:
         # the broadcast round carries the dangling flag ON the rank vector
         # (one boolean per row) so the per-iteration dangling-mass
-        # aggregate needs no join; attach it once (initial vector, restored
-        # checkpoints, and teleport vectors all start without it)
-        ranks = ranks.join(verts, "v").select("v", "rank", "_dang")
+        # aggregate needs no join; attach it once (initial vectors and
+        # restored checkpoints may start without it)
+        keep = ["v", "rank"] + (["p"] if "p" in ranks.columns else [])
+        ranks = ranks.join(verts, "v").select(*keep, "_dang")
+    if (
+        broadcast_ranks
+        and teleport is not None
+        and "p" not in ranks.columns
+    ):
+        # restored checkpoints predate the carried column — reattach once
+        ranks = ranks.join(vp, "v").select("v", "rank", "_dang", "p")
 
     # Per round: the contribution vector is cached transiently (one
     # execution feeds both the Σcontrib scalar and the new rank view), the
@@ -364,18 +378,29 @@ def pagerank_df_iterate(
             # per-iteration transient cache, no Σcontrib second pass.
             # (Previously: contribs.persist + Σcontrib aggregate + vp left
             # join + unpersist — 2 extra passes and cache churn per round.)
-            ranks_src = F.broadcast(
-                ranks.select(F.col("v").alias("src"), "rank")
-            )
+            src_cols = [F.col("v").alias("src"), F.col("rank")]
+            aggs = [
+                F.sum(F.col("rank") / F.col("out_deg")).alias("contrib"),
+                # exactly one self row per group carries the flag; real
+                # rows carry null, which max ignores
+                F.max("_dang").alias("_dang"),
+            ]
+            out_cols = ["v", None, "_dang"]  # None := rank goes here
+            if teleport is not None:
+                src_cols.append(F.col("p"))
+                # the self row (out_deg null) joins the dst vertex's own
+                # broadcast row, so its p IS p(dst)
+                aggs.append(
+                    F.max(
+                        F.when(F.col("out_deg").isNull(), F.col("p"))
+                    ).alias("p")
+                )
+                out_cols.append("p")
+            ranks_src = F.broadcast(ranks.select(*src_cols))
             contribs = (
                 e_deg.join(ranks_src, "src")
                 .groupBy(F.col("dst").alias("v"))
-                .agg(
-                    F.sum(F.col("rank") / F.col("out_deg")).alias("contrib"),
-                    # exactly one self row per group carries the flag;
-                    # real rows carry null, which max ignores
-                    F.max("_dang").alias("_dang"),
-                )
+                .agg(*aggs)
             )
             dm_df = ranks.where(F.col("_dang")).agg(
                 F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
@@ -389,7 +414,7 @@ def pagerank_df_iterate(
                         + F.col("_dm") * F.col("p")
                     )
                 )
-                body = contribs.join(F.broadcast(vp), "v")
+                body = contribs
             else:
                 restart = (
                     F.lit((1.0 - alpha) / n)
@@ -400,9 +425,8 @@ def pagerank_df_iterate(
                     )
                 )
                 body = contribs
-            new_ranks = (
-                body.crossJoin(F.broadcast(dm_df))
-                .select("v", restart.alias("rank"), "_dang")
+            new_ranks = body.crossJoin(F.broadcast(dm_df)).select(
+                *[restart.alias("rank") if c is None else c for c in out_cols]
             )
             contribs_cache = None
         else:

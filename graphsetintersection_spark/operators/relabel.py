@@ -218,6 +218,11 @@ def _bfs_levels(
         ej = ej.persist()
     prev_levels: DataFrame | None = None
     prev_frontier: DataFrame | None = None
+    # NOTE (r6): replacing the per-level levels re-checkpoint with a lazy
+    # union of frontier leaves was MEASURED SLOWER here (13-21s vs 7s on
+    # the 20k-vertex bench graph, degrading with plan depth) — the
+    # per-level broadcast anti-join re-plans the whole union every level.
+    # The materialized-visited-set shape below stands.
     for lvl in range(1, max_levels + 1):
         if broadcast_state:
             nxt = (

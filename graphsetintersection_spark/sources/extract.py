@@ -73,7 +73,12 @@ def link_edges(pages: DataFrame) -> DataFrame:
     the densification step."""
     from graphsetintersection_spark.plans.assign import global_order_stats
 
-    links = extract_links(pages)
+    # materialize the anchor extraction ONCE (eager localCheckpoint,
+    # blocks GC-released with the frame): the url-dictionary build and the
+    # dictionary join both consume it, and Spark does not dedupe common
+    # subtrees — unchecked, the html regex pass (the ingest cost center at
+    # corpus scale) ran once per reference (guide §2.4/§5)
+    links = extract_links(pages).localCheckpoint(eager=True)
     urls = (
         pages.select(F.col("url"))
         .union(links.select(F.col("dst_url").alias("url")))
