@@ -133,6 +133,21 @@ def _doc_shingle_hashes(t, n: int):
     return np.unique(h).view(np.int64)
 
 
+def _mersenne31_mod(x):
+    """Exact ``x % (2^31 - 1)`` for NON-NEGATIVE int64 ``x`` < 2^62 via
+    Mersenne folding (2^31 ≡ 1 mod M, so fold the high bits down twice
+    and conditionally subtract) — no integer division, which is the cost
+    center of the minhash permutation math (measured: the divide-based
+    ``%`` was ~2/3 of the signature kernel's arithmetic time)."""
+    import numpy as np
+
+    m = np.int64(_MH_PRIME)
+    x = (x >> 31) + (x & m)
+    x = (x >> 31) + (x & m)
+    x[x >= m] -= m
+    return x
+
+
 def hashed_shingles(
     docs: DataFrame,
     n: int = 5,
@@ -156,7 +171,11 @@ def hashed_shingles(
     just shift window boundaries — an internal hashing detail.)"""
     import pyarrow as pa  # noqa: F401
 
-    src = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+    from graphsetintersection_spark.session import ensure_min_parallelism
+
+    src = ensure_min_parallelism(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+    )
 
     def gen(batches):
         import numpy as np
@@ -297,8 +316,14 @@ def minhash_signatures(
 
         a_vec = np.array([a for a, _ in params], dtype=np.int64)
         b_vec = np.array([b for _, b in params], dtype=np.int64)
-        src = docs.select(
-            F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
+        from graphsetintersection_spark.session import (
+            ensure_min_parallelism,
+        )
+
+        src = ensure_min_parallelism(
+            docs.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
+            )
         )
 
         def gen(batches):
@@ -318,14 +343,18 @@ def minhash_signatures(
                     # chunk the shingle axis: the full (n_shingles × P)
                     # product on a 100k-shingle page at P=256 would be a
                     # ~200 MB transient — the r2 row-memory hazard in
-                    # kernel form. 8k-chunks cap it at 16 MB.
+                    # kernel form. 8k-chunks cap it at 16 MB (and keep the
+                    # working set cache-resident — a batch-level fused
+                    # form with 32k chunks was MEASURED memory-bandwidth
+                    # bound and slower; see OPTIMIZATION_r06.md).
                     sig = np.full(len(a_vec), _MH_PRIME, dtype=np.int64)
                     for lo in range(0, len(hv), 8192):
                         blk = hv[lo:lo + 8192, None]
                         np.minimum(
                             sig,
-                            ((blk * a_vec[None, :] + b_vec[None, :])
-                             % prime).min(axis=0),
+                            _mersenne31_mod(
+                                blk * a_vec[None, :] + b_vec[None, :]
+                            ).min(axis=0),
                             out=sig,
                         )
                     sigs.append(sig)
@@ -641,8 +670,14 @@ def simhash_signatures(
     combinable, fixed 64-long buffer per doc (the r2 ``collect_list`` +
     ``zip_with`` fold materialized one 64-long array per token in a single
     aggregation row — VERDICT r2 #2; this form is O(1) per doc)."""
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
+    from graphsetintersection_spark.session import ensure_min_parallelism
+
+    # the explode and the 64 per-bit partial sums run in the SCAN stage —
+    # over a single-partition input that is one core doing all the work
+    toks = ensure_min_parallelism(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    ).select(
+        "doc_id",
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).where(F.col("tok") != "")
     h = F.xxhash64("tok")

@@ -54,8 +54,15 @@ def cosine_topk_bruteforce(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = candidates.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    from graphsetintersection_spark.session import ensure_min_parallelism
+
+    # the per-candidate dot-product expressions evaluate in the scan
+    # stage; a single-file table scans as one partition, serializing the
+    # whole scoring pass on one core (see ensure_min_parallelism)
+    c = ensure_min_parallelism(
+        candidates.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        )
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -124,8 +131,12 @@ def cosine_topk_kernel(
                 {"query_id": out_q, "neighbor_id": out_c, "score": out_s}
             )
 
-    c = candidates.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    from graphsetintersection_spark.session import ensure_min_parallelism
+
+    c = ensure_min_parallelism(
+        candidates.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        )
     )
     partial = c.mapInPandas(
         gemm, "query_id long, neighbor_id long, score double"

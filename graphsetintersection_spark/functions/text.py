@@ -63,9 +63,14 @@ def token_count_bpe(text: Column) -> Column:
 
 def doc_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document statistics table: lengths, token counts, class ratios."""
+    from graphsetintersection_spark.session import ensure_min_parallelism
+
     t = F.col(text_col)
     n_chars = F.length(t).cast("long")
     stripped = lambda pat: F.length(F.regexp_replace(t, pat, ""))  # noqa: E731
+    # the per-row regex battery evaluates in the scan stage — floor the
+    # parallelism so a single-file table does not serialize it on one core
+    docs = ensure_min_parallelism(docs.select(id_col, text_col))
     return docs.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
@@ -115,6 +120,11 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     """Language-ID heuristic: argmax of marker-stopword hit counts, tie →
     lexicographically-first code, all-zero → 'und'. Deterministic and
     SQL-expressible for the oracle."""
+    # NOTE: deliberately NOT parallelism-floored like doc_stats — the
+    # extra exchange raised this op's first-run (codegen-heavy) latency
+    # past the point where it mattered more than the warm win; the marker
+    # count expressions are cheap enough per byte that the single-task
+    # scan is acceptable
     scores = lang_scores(F.col(text_col))
     best = F.greatest(*[s for _, s in scores])
     pred = F.lit("und")

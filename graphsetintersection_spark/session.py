@@ -59,6 +59,30 @@ def get_spark(
     return spark
 
 
+def ensure_min_parallelism(df, target: int | None = None):
+    """Raise an under-parallel frame to the session's default parallelism
+    before a compute-heavy (Python/Arrow kernel) pass.
+
+    Single-file, single-row-group parquet tables scan as ONE partition, so
+    a mapInArrow/mapInPandas kernel placed directly over the scan runs on
+    one core while the rest of the cluster idles (guide §2.1/§6: splits
+    cannot cross row-group boundaries, so ``maxPartitionBytes`` /
+    ``minPartitionNum`` cannot fix this shape). The round-robin exchange
+    this inserts moves only the kernel's (already column-pruned) input
+    once; at scale, scans arrive with >= target partitions and this is a
+    no-op — the partition count is checked, not assumed."""
+    if df.isStreaming:
+        # a streaming frame cannot be inspected via .rdd (and its
+        # per-micro-batch parallelism is the source's concern)
+        return df
+    sc = df.sparkSession.sparkContext
+    if target is None:
+        target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
