@@ -525,7 +525,6 @@ def _kernel_count(
         if use_bcast:
             sc = edges.sparkSession.sparkContext
             vs, indptr, flat = _collect_csr(adj)
-            adj.unpersist()  # released early; finally's repeat is a no-op
             k = _pick_broadcast_kernel(kernel, vs, flat, entries)
             if k == "bitset" and (
                 (len(vs) and vs[0] < 0)
@@ -549,7 +548,20 @@ def _kernel_count(
                 fn = _make_broadcast_count_batches(
                     bc, kernel_fn, acc_inter, acc_cmp
                 )
-            partials = e.mapInArrow(fn, "tri long")
+            # choose the cheaper materialization of the oriented edge
+            # stream: an already-cached input re-orients straight off its
+            # cache, but an expensive DERIVED input (e.g. the
+            # lineitem-distinct gate graphs) would re-run its whole plan —
+            # there, explode the persisted adjacency instead (edge (a, b),
+            # a < b ⇔ a ∈ lower-nbrs(b); guide §2.4: don't compute
+            # things twice)
+            if edges.is_cached:
+                e_stream = e
+            else:
+                e_stream = adj.select(
+                    F.explode("nbrs").alias("src"), F.col("v").alias("dst")
+                )
+            partials = e_stream.mapInArrow(fn, "tri long")
             row = partials.agg(F.sum("tri").alias("tri")).collect()[0]
             return int(row["tri"] or 0)
         if hub_deg_ratio == "auto":
