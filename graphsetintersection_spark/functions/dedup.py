@@ -670,14 +670,8 @@ def simhash_signatures(
     combinable, fixed 64-long buffer per doc (the r2 ``collect_list`` +
     ``zip_with`` fold materialized one 64-long array per token in a single
     aggregation row — VERDICT r2 #2; this form is O(1) per doc)."""
-    from graphsetintersection_spark.session import ensure_min_parallelism
-
-    # the explode and the 64 per-bit partial sums run in the SCAN stage —
-    # over a single-partition input that is one core doing all the work
-    toks = ensure_min_parallelism(
-        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
-    ).select(
-        "doc_id",
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).where(F.col("tok") != "")
     h = F.xxhash64("tok")

@@ -63,14 +63,13 @@ def token_count_bpe(text: Column) -> Column:
 
 def doc_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document statistics table: lengths, token counts, class ratios."""
-    from graphsetintersection_spark.session import ensure_min_parallelism
-
     t = F.col(text_col)
     n_chars = F.length(t).cast("long")
     stripped = lambda pat: F.length(F.regexp_replace(t, pat, ""))  # noqa: E731
-    # the per-row regex battery evaluates in the scan stage — floor the
-    # parallelism so a single-file table does not serialize it on one core
-    docs = ensure_min_parallelism(docs.select(id_col, text_col))
+    # NOTE (r6): a parallelism-floor repartition here was measured a net
+    # LOSS in the frozen bench (the extra exchange + its first-run codegen
+    # outweighed the parallel regex win at this op's per-byte cost); the
+    # single-task scan stands, like lang_id below
     return docs.select(
         F.col(id_col),
         n_chars.alias("n_chars"),

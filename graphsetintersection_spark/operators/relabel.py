@@ -214,7 +214,10 @@ def _bfs_levels(
     levels = spark.createDataFrame([(root, 0)], "v long, level int")
     frontier = levels
     ej = edges.select("src", "dst")
-    if broadcast_state:
+    # an already-cached input needs no second cache copy — the per-level
+    # joins read the caller's cache through the cheap projection
+    ej_cached_here = broadcast_state and not edges.is_cached
+    if ej_cached_here:
         ej = ej.persist()
     prev_levels: DataFrame | None = None
     prev_frontier: DataFrame | None = None
@@ -253,7 +256,7 @@ def _bfs_levels(
             prev_frontier.unpersist()
         prev_levels, prev_frontier = levels, nxt
         frontier = nxt
-    if broadcast_state:
+    if ej_cached_here:
         ej.unpersist()
     live = [f for f in (prev_levels, prev_frontier) if f is not None]
     return levels, live
