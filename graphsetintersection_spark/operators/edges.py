@@ -100,23 +100,25 @@ def orient(edges: DataFrame) -> DataFrame:
 
 def degrees(edges: DataFrame) -> DataFrame:
     """Per-vertex out/in/total degree over a directed edge table
-    (reference: src/porder.cpp:61-64). One shuffle per direction, then an
-    outer join; all map-side-combined hash aggregates."""
-    out_deg = edges.groupBy(F.col("src").alias("v")).agg(
-        F.count("*").alias("out_deg")
+    (reference: src/porder.cpp:61-64).
+
+    ONE union + one map-side-combined hash aggregate (each endpoint emits
+    a (v, is_out, is_in) vote row): a single Exchange on v. The previous
+    shape — one aggregate per direction plus a full-outer join — paid two
+    Exchanges and a join for the same result (guide §2.4); vertices
+    missing from a direction fall out of the sums as zero, exactly the
+    coalesce semantics the join encoded."""
+    both = edges.select(
+        F.col("src").alias("v"),
+        F.lit(1).alias("_o"),
+        F.lit(0).alias("_i"),
+    ).unionAll(
+        edges.select(F.col("dst").alias("v"), F.lit(0), F.lit(1))
     )
-    in_deg = edges.groupBy(F.col("dst").alias("v")).agg(
-        F.count("*").alias("in_deg")
-    )
-    return (
-        out_deg.join(in_deg, "v", "full_outer")
-        .select(
-            "v",
-            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
-            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
-        )
-        .withColumn("deg", F.col("out_deg") + F.col("in_deg"))
-    )
+    return both.groupBy("v").agg(
+        F.sum("_o").cast("long").alias("out_deg"),
+        F.sum("_i").cast("long").alias("in_deg"),
+    ).withColumn("deg", F.col("out_deg") + F.col("in_deg"))
 
 
 def vertices(edges: DataFrame) -> DataFrame:

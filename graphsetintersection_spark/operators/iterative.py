@@ -73,16 +73,25 @@ def prepare_undirected(
     round's per-dst aggregation sees the vertex's own state — the rounds
     then emit one row per vertex straight from the aggregate and the
     per-round labels⨝result finalize join disappears."""
-    from graphsetintersection_spark.operators.edges import canonicalize
-
     # the partition key depends on the strategy, which depends on n — so
-    # the vertex set (same either way) is counted first, off the cheap
-    # canonical view, and the big frame is built ONCE with the right key.
+    # the vertex set (same either way) is counted first, off the filtered
+    # view, and the big frame is built ONCE with the right key.
+    # vertices() ends in its own distinct, so the edge-level distinct of
+    # canonicalize() is subsumed — running both paid an extra Exchange
+    # per prepare for the same vertex set (guide §2.4).
     # (r6 note: transiently persisting the cast/filtered frame here to
     # save the repeated input-plan scans was MEASURED SLOWER end-to-end —
     # the cache materialization barrier cost more than the parallel
     # re-scans it saved — so the uncached shape stands.)
-    verts = vertices(canonicalize(edges)).persist()
+    filtered = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .where(F.col("src") != F.col("dst"))
+    )
+    verts = vertices(filtered).persist()
     n = verts.count()
     if broadcast_labels is None:
         broadcast_labels = n <= BROADCAST_STATE_MAX_VERTICES

@@ -33,7 +33,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graphsetintersection_spark.operators.edges import canonicalize, vertices
+from graphsetintersection_spark.operators.edges import canonicalize
 from graphsetintersection_spark.plans.checkpoint import CheckpointManager
 
 
@@ -190,39 +190,43 @@ def pagerank_df_prepare(
     bench) pay it once per graph — the analog of the reference's printed
     index-build phase (src/tc.cpp:28-29)."""
     # transient cache for the SETUP phase only: the canonicalized frame
-    # feeds the vertex set, the out-degree aggregate and the e_deg build —
-    # uncached, that is three full scans of the raw edge input (guide §2.4:
-    # the 100 TB scan is the cost; locally it re-ran the lineitem distinct
+    # feeds the degree/vertex aggregate and the e_deg build — uncached,
+    # that is repeated full scans of the raw edge input (guide §2.4: the
+    # 100 TB scan is the cost; locally it re-ran the lineitem distinct
     # per pass). Released once e_deg holds its own copy.
     e = (canonicalize(edges) if dedup else edges.select("src", "dst")).persist()
 
-    # V-row transient cache: the out-degree aggregate feeds both the
-    # dangling-flagged vertex set and the e_deg join — computed once
-    out_deg = e.groupBy(F.col("src").alias("v")).agg(
-        F.count("*").alias("out_deg")
-    ).persist()
+    # ONE union + aggregate yields the complete vertex set AND each
+    # vertex's out-degree (dst-only vertices fall out with out_deg 0) —
+    # replacing the previous vertices-distinct + out-degree aggregate +
+    # left join (two Exchanges and a join for the same information,
+    # guide §2.4). V-row transient cache: feeds both the dangling-flagged
+    # vertex set and the e_deg join.
+    vdeg = (
+        e.select(F.col("src").alias("v"), F.lit(1).alias("_o"))
+        .unionAll(e.select(F.col("dst").alias("v"), F.lit(0)))
+        .groupBy("v")
+        .agg(F.sum("_o").cast("long").alias("out_deg"))
+        .persist()
+    )
     try:
         return _pagerank_df_prepare_body(
-            e, out_deg, broadcast_ranks, salt_hubs
+            e, vdeg, broadcast_ranks, salt_hubs
         )
     finally:
         # the setup caches must not outlive this call on ANY exit path
         # (unpersist is idempotent)
         e.unpersist()
-        out_deg.unpersist()
+        vdeg.unpersist()
 
 
-def _pagerank_df_prepare_body(e, out_deg, broadcast_ranks, salt_hubs):
+def _pagerank_df_prepare_body(e, vdeg, broadcast_ranks, salt_hubs):
     # vertex set annotated with the dangling flag (no out-edges): the
     # iteration's dangling-mass term D = Σ_{dang} rank is then one
     # filter-aggregate over the rank leaf — no per-iteration join against
     # a dangling-vertex table and no Σcontrib second pass (guide §2.4)
-    verts = (
-        vertices(e)
-        .join(out_deg, "v", "left")
-        .select("v", F.col("out_deg").isNull().alias("_dang"))
-        .persist()
-    )
+    out_deg = vdeg.where(F.col("out_deg") > 0)
+    verts = vdeg.select("v", (F.col("out_deg") == 0).alias("_dang")).persist()
     n = verts.count()
     # ranks-side join strategy: while the rank vector fits comfortably in
     # executor memory it is BROADCAST each iteration and the edge table is
