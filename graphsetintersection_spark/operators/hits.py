@@ -101,6 +101,7 @@ def hits(
     dedup: bool = True,
     broadcast_scores: bool | None = None,
     salt_hubs: int | str | None = "auto",
+    pre_canonical: bool = False,
 ) -> HITSResult:
     """Run HITS for ``max_iter`` iterations (or until the hub vector's max
     absolute change drops below ``tol``). Returns per-vertex (hub, auth)
@@ -109,7 +110,15 @@ def hits(
     ``broadcast_scores`` None picks by vertex count (the pagerank
     cutover); ``salt_hubs`` engages the salted two-stage aggregation on
     the shuffle path per aggregation key ("auto" probes each key's skew,
-    an int forces that salt count, None disables)."""
+    an int forces that salt count, None disables).
+
+    ``pre_canonical``: the caller asserts ``edges`` is ALREADY canonical —
+    long-typed, distinct, null-free, self-loop-free (e.g. the gate graphs'
+    ``select distinct … where src <> dst`` SQL). The normalization
+    re-distinct (one full exchange of the edge table) is skipped while
+    every canonical-input round shape (the self-row total aggregation)
+    stays engaged — unlike ``dedup=False``, which must assume real self
+    loops may exist and drops to the legacy round shape."""
     if max_iter < 1:
         raise ValueError("hits: max_iter must be >= 1")
     spark = edges.sparkSession
@@ -119,7 +128,9 @@ def hits(
     # raw edge table (the 100 TB input) instead of one. Released once
     # the two per-key caches hold their own copies.
     e = (
-        canonicalize(edges) if dedup else edges.select("src", "dst")
+        canonicalize(edges)
+        if dedup and not pre_canonical
+        else edges.select("src", "dst")
     ).persist()
     verts = vertices(e).persist()
     n = verts.count()
@@ -132,9 +143,10 @@ def hits(
         broadcast_scores = n <= BROADCAST_STATE_MAX_VERTICES
     # the self-row total-aggregation round shape relies on src != dst
     # identifying the synthetic rows, which canonicalize guarantees by
-    # dropping real self loops; with dedup=False a real self loop must
-    # keep contributing, so that case stays on the legacy round shape
-    total_agg = broadcast_scores and dedup
+    # dropping real self loops (and pre_canonical asserts); with plain
+    # dedup=False a real self loop must keep contributing, so that case
+    # stays on the legacy round shape
+    total_agg = broadcast_scores and (dedup or pre_canonical)
 
     from graphsetintersection_spark.plans.skew import (
         decide_hub_salting,

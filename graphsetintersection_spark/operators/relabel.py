@@ -220,12 +220,21 @@ def _bfs_levels(
     if ej_cached_here:
         ej = ej.persist()
     prev_levels: DataFrame | None = None
-    prev_frontier: DataFrame | None = None
     # NOTE (r6): replacing the per-level levels re-checkpoint with a lazy
     # union of frontier leaves was MEASURED SLOWER here (13-21s vs 7s on
     # the 20k-vertex bench graph, degrading with plan depth) — the
     # per-level broadcast anti-join re-plans the whole union every level.
-    # The materialized-visited-set shape below stands.
+    # The materialized-visited-set shape below stands, with ONE
+    # materialization per level: the new frontier is unioned into the
+    # visited set and checkpointed in the SAME job (previously the
+    # frontier and the union were two separate checkpoints), the frontier
+    # view is a lazy filter over that leaf, and termination reads the
+    # union's row count from an observed metric of the checkpoint job
+    # itself (exact integer count — order-insensitive, no extra action)
+    # instead of a separate isEmpty job. 5 jobs/level → 3.
+    from pyspark.sql import Observation
+
+    n_prev = 1  # the root row
     for lvl in range(1, max_levels + 1):
         if broadcast_state:
             nxt = (
@@ -244,21 +253,26 @@ def _bfs_levels(
                 .distinct()
                 .join(levels, "v", "left_anti")
             )
-        nxt = nxt.withColumn("level", F.lit(lvl)).localCheckpoint(eager=True)
-        if nxt.isEmpty():
-            nxt.unpersist()
-            break
-        levels = levels.unionByName(nxt).localCheckpoint(eager=True)
-        # the previous round's level/frontier snapshots are superseded
+        obs = Observation()
+        new_levels = (
+            levels.unionByName(nxt.withColumn("level", F.lit(lvl)))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        n_new = int(obs.get["n"])
+        # the previous round's snapshot is superseded (the terminal
+        # union — no new vertices — has identical content to it)
         if prev_levels is not None:
             prev_levels.unpersist()
-        if prev_frontier is not None:
-            prev_frontier.unpersist()
-        prev_levels, prev_frontier = levels, nxt
-        frontier = nxt
+        prev_levels = new_levels
+        levels = new_levels
+        if n_new == n_prev:
+            break
+        n_prev = n_new
+        frontier = new_levels.where(F.col("level") == lvl)
     if ej_cached_here:
         ej.unpersist()
-    live = [f for f in (prev_levels, prev_frontier) if f is not None]
+    live = [prev_levels] if prev_levels is not None else []
     return levels, live
 
 

@@ -139,3 +139,11 @@ def content_signature(df: DataFrame, *cols: str) -> tuple[int, int]:
         ),
     ).collect()[0]
     return int(r["n"]), int(r["chk"])
+    # NOTE (r6): folding this aggregate into the round's localCheckpoint
+    # job as an observed metric (DataFrame.observe) was implemented and
+    # MEASURED SLOWER for the CC rounds (star warm median 3.32 → 3.75 s
+    # at sf0.1 despite 46 → 36 jobs; minlabel flat) — the CollectMetrics
+    # node sits in the round plan's codegen pipeline, and the separate
+    # aggregate over the already-cached leaf it replaces was nearly free.
+    # The BFS level loop DOES use an observed row count (relabel.py),
+    # where it replaces a whole extra checkpoint, not just an aggregate.
