@@ -241,8 +241,16 @@ def hits(
             e_src = (
                 e_src.repartition("dst").sortWithinPartitions("dst").persist()
             )
-        e_dst.count()
-        e_src.count()
+        # materialize the two stationary caches CONCURRENTLY: the builds
+        # are independent jobs over the same setup cache, and submitting
+        # them from one thread would serialize two shuffle latencies
+        # (Spark job submission is thread-safe; the cluster schedules
+        # both at once)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for f in [pool.submit(e_dst.count), pool.submit(e_src.count)]:
+                f.result()
         e.unpersist()  # the per-key caches are self-contained from here
 
         hub = verts.select("v", F.lit(1.0).alias("s")).localCheckpoint(
@@ -253,6 +261,15 @@ def hits(
         # are released only after the next iteration's leaves (and the
         # delta aggregate) have consumed them
         live_leaves: list[DataFrame] = [hub]
+        # NOTE (r6): deferring the per-half-step localCheckpoint to a
+        # periodic barrier (lazy transient caches in between, checkpoint
+        # every 4 iterations) was implemented and MEASURED MUCH SLOWER
+        # (10 warm iterations 5.0 s → 19-25 s at sf0.1): the barrier has
+        # to plan a 4-iteration-deep nest of broadcast joins + scalar
+        # subqueries, and planning cost dominates the saved checkpoint
+        # jobs — the same deep-lazy-plan failure mode as the BFS lazy
+        # visited-union experiment (relabel.py). Checkpoint-per-half-step
+        # stands.
         for it in range(max_iter):
             if total_agg:
                 # OPTIMIZED BROADCAST ROUND: each half-step materializes
