@@ -131,7 +131,13 @@ def hits(
         canonicalize(edges)
         if dedup and not pre_canonical
         else edges.select("src", "dst")
-    ).persist()
+    )
+    # an input the caller already cached/checkpointed needs no second
+    # copy — its scans are cache reads and the extra persist is a pure
+    # materialization barrier (same check as pagerank_df_prepare)
+    e_cached_here = not edges.is_cached
+    if e_cached_here:
+        e = e.persist()
     verts = vertices(e).persist()
     n = verts.count()
     if n == 0:

@@ -193,8 +193,15 @@ def pagerank_df_prepare(
     # feeds the degree/vertex aggregate and the e_deg build — uncached,
     # that is repeated full scans of the raw edge input (guide §2.4: the
     # 100 TB scan is the cost; locally it re-ran the lineitem distinct
-    # per pass). Released once e_deg holds its own copy.
-    e = (canonicalize(edges) if dedup else edges.select("src", "dst")).persist()
+    # per pass). Released once e_deg holds its own copy. An input the
+    # CALLER already cached (or checkpointed) needs no second copy: its
+    # scans are cache reads, and the extra persist is a pure
+    # materialization barrier (the same already-cached check the
+    # triangle planner and _bfs_levels apply).
+    e = canonicalize(edges) if dedup else edges.select("src", "dst")
+    e_cached_here = not edges.is_cached
+    if e_cached_here:
+        e = e.persist()
 
     # ONE union + aggregate yields the complete vertex set AND each
     # vertex's out-degree (dst-only vertices fall out with out_deg 0) —
@@ -215,8 +222,11 @@ def pagerank_df_prepare(
         )
     finally:
         # the setup caches must not outlive this call on ANY exit path
-        # (unpersist is idempotent)
-        e.unpersist()
+        # (unpersist is idempotent); when the input was already cached,
+        # `e` is an uncached projection of the CALLER's cache — nothing
+        # to release (and unpersisting it would not touch the caller's)
+        if e_cached_here:
+            e.unpersist()
         vdeg.unpersist()
 
 
