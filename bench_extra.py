@@ -193,6 +193,73 @@ def section_dedup(spark, prof):
     cand.unpersist()
 
 
+def section_coldkeys(spark, prof):
+    """Cold-run decomposition of the two REPEAT_BUDGET-bimodal bench keys
+    (stream_neardup_prod, pagerank_kernel_iters): when their FIRST
+    execution exceeds bench.py's 3.0 s repeat budget they stay
+    cold-single-shot and the headline records the codegen-laden run."""
+    from pyspark.sql import functions as F
+
+    from graphsetintersection_spark.session import read_table
+    from graphsetintersection_spark.streaming.dedup import (
+        _validate_index,
+        minhash_band_index,
+        stream_minhash_neardup,
+    )
+
+    docs_full = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    half = docs_full.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    idx = minhash_band_index(
+        docs_full.where(F.col("doc_id") <= half), num_perm=128, bands=32
+    ).persist()
+    # the bench key's cold run, split: validate-aggregate (materializes the
+    # index persist: signature kernel over half the corpus + banding) vs
+    # the stream-side signatures + (band,bucket) join + dedup + collect
+    prof.run("snp_validate_cold", lambda: _validate_index(idx, 128, 32))
+    matches = stream_minhash_neardup(
+        docs_full.where(F.col("doc_id") > half), idx,
+        num_perm=128, bands=32, threshold=0.5, validate=False,
+    )
+    prof.run("snp_join_collect_cold", lambda: matches.collect())
+    prof.run("snp_validate_warm", lambda: _validate_index(idx, 128, 32))
+    prof.run("snp_join_collect_warm", lambda: matches.collect())
+    idx.unpersist()
+
+    # pagerank_kernel over the bench's ingest graph, cold then warm
+    from graphsetintersection_spark.operators.edges import degrees
+    from graphsetintersection_spark.operators.pagerank import (
+        pagerank_kernel_iterate,
+        pagerank_kernel_prepare,
+    )
+    from graphsetintersection_spark.operators.relabel import (
+        apply_order,
+        degree_order,
+    )
+    from graphsetintersection_spark.sources.extract import link_edges
+    from graphsetintersection_spark.sources.pages import generate_pages
+
+    li_rows = read_table(spark, SF_DIR, "lineitem").count()
+    pages = generate_pages(spark, max(2000, li_rows // 30), avg_links=12.0, seed=42)
+    edges = link_edges(pages).persist()
+    rel = apply_order(edges, degree_order(edges, deg=degrees(edges))).persist()
+    rel.count()
+    prep = prof.run(
+        "prk_prepare_cold", lambda: pagerank_kernel_prepare(rel, relabel=False)
+    )
+    prof.run(
+        "prk_iter3_cold", lambda: pagerank_kernel_iterate(prep, max_iter=3)
+    )
+    prof.run(
+        "prk_iter3_warm", lambda: pagerank_kernel_iterate(prep, max_iter=3)
+    )
+    prof.run(
+        "prk_iter1_warm", lambda: pagerank_kernel_iterate(prep, max_iter=1)
+    )
+    prep.unpersist()
+    edges.unpersist()
+    rel.unpersist()
+
+
 SECTIONS = {
     "pagerank": section_pagerank,
     "ppr_hits": section_ppr_hits,
@@ -200,6 +267,7 @@ SECTIONS = {
     "ingest": section_ingest,
     "cc": section_cc,
     "dedup": section_dedup,
+    "coldkeys": section_coldkeys,
 }
 
 
