@@ -275,7 +275,12 @@ def hits(
         # subqueries, and planning cost dominates the saved checkpoint
         # jobs — the same deep-lazy-plan failure mode as the BFS lazy
         # visited-union experiment (relabel.py). Checkpoint-per-half-step
-        # stands.
+        # stands. The depth-2 variant (auth half-step as a transient
+        # persist, materialized inside the hub checkpoint that references
+        # it twice) was ALSO measured slower (interleaved A/B at sf0.1:
+        # warm 5.7 → 6.1 s, jobs 104 → 112): the broadcast build over an
+        # unmaterialized cache with a nested norm-aggregate broadcast
+        # spawns MORE AQE stage jobs than the checkpoint it replaces.
         for it in range(max_iter):
             if total_agg:
                 # OPTIMIZED BROADCAST ROUND: each half-step materializes
